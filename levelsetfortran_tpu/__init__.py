@@ -1,0 +1,17 @@
+"""levelsetfortran_tpu — a TPU-native differentiable level-set engine.
+
+Brand-new JAX/XLA/Pallas implementation of the capabilities of
+musheen/LevelSetFortran (serial Fortran 90 reference): STL -> signed-distance
+initialization -> WENO5/Godunov eikonal reinitialization -> min/max
+curvature-flow smoothing -> surface-node advection -> .vti/.s3d outputs,
+plus sharded multi-chip execution and a differentiable SDF renderer that the
+reference never had.
+"""
+
+from .config import LevelSetConfig, QuirkConfig, REFERENCE_PARITY
+from .grid.grid import Grid3D, from_bbox, from_surface
+from .io.stl import SurfaceMesh, read_stl, write_stl
+from .io.vti import read_vti, write_vti
+from .io.s3d import read_s3d, write_s3d
+
+__version__ = "0.1.0"

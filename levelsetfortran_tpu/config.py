@@ -1,0 +1,122 @@
+"""Configuration schema for the TPU level-set engine.
+
+The reference (musheen/LevelSetFortran) hardcodes every solver knob as a
+literal in the main program (see reference ``set3d.f90``: dx at :140,
+pad cells at :148, reinit CFL/iters at :298-305, min/max CFL/iters at
+:390-392, advect iters at :489, final reinit at :576-580) and band radii in
+``subs.f90:194,199``.  Here every one of those literals becomes a typed,
+documented config field, which is the config layer the reference README
+promises ("Working on adding a namelist for inputs") but never shipped.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class QuirkConfig:
+    """Switches replicating reference-as-written behaviors that differ from
+    the intended math.  Defaults implement the *correct* math; flip a flag to
+    reproduce the reference bit pattern for parity studies.
+
+    Each flag cites the reference line it models.
+    """
+
+    #: ``subs.f90:576``: y-direction WENO eps scaling uses p5 = 0
+    #: (``phi(i,j+3,k) - phi(i,j+3,k)``) instead of the j+3/j+2 difference.
+    weno_y_p5_zero: bool = False
+
+    #: ``subs.f90:346``: order-8 first derivative y-stencil uses ``jp1``
+    #: where symmetry requires ``jp2``.
+    deriv8_y_jp1: bool = False
+
+    #: ``subs.f90:227,233,239``: order-1 upwind branch adds instead of
+    #: subtracting the neighbor.
+    deriv1_plus_sign: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class LevelSetConfig:
+    """All solver hyper-parameters, mirroring reference literals.
+
+    Stage structure follows ``set3d.f90``: grid setup -> inside/outside init
+    -> reinit -> narrow band -> min/max flow -> node advection -> final
+    reinit.
+    """
+
+    # --- grid (reference set3d.f90:140-157) ---
+    dx: float = 0.05                    # set3d.f90:140
+    pad_cells: int = 10                 # set3d.f90:148 ("dd")
+
+    #: "distance" (default): exact point-triangle signed distance init —
+    #: already |grad|=1, so Jacobi reinit converges in O(100) steps.
+    #: "reference": the reference's smeared ±1 nearest-centroid field
+    #: (set3d.f90:196-268) — needs O(domain/h) Jacobi steps to grow the
+    #: far field (the reference's Gauss-Seidel sweeps hide this).
+    init_mode: str = "distance"
+
+    # --- narrow band radii in units of dx (subs.f90:194,199) ---
+    band_radius: float = 4.1            # active band  |phi| < 4.1*dx
+    stencil_band_radius: float = 8.1    # stencil band |phi| < 8.1*dx
+
+    # --- initial reinitialization (set3d.f90:298-305) ---
+    reinit_iters: int = 10000
+    reinit_cfl: float = 0.1
+    reinit_tol: float = 1e-5            # subs.f90:915
+
+    # --- min/max curvature flow (set3d.f90:390-392, 448) ---
+    minmax_iters: int = 10000
+    minmax_cfl: float = 0.01
+    minmax_tol: float = 1e-7
+    minmax_threshold: float = 0.0       # subs.f90:471 ("thresh")
+    minmax_avg_halfwidth: int = 1       # subs.f90:467 ("h")
+
+    # --- node advection (set3d.f90:489) ---
+    advect_iters: int = 1000
+    advect_grad_order: int = 8          # set3d.f90:470
+    advect_eps: float = 1e-13           # set3d.f90:493
+
+    # --- final reinitialization (set3d.f90:576-580) ---
+    final_reinit_iters: int = 2000
+    final_reinit_cfl: float = 0.001
+
+    # --- numerics ---
+    dtype: jnp.dtype = jnp.float32      # TPU-native default; f64 for CPU parity
+    weno_eps_scale: float = 1e-6        # subs.f90:533
+    weno_eps_floor: float = 1e-99       # subs.f90:533 (clamped to dtype tiny)
+    sign_eps: float = 1e-13             # subs.f90:156
+
+    # --- sharding (absent in reference; SURVEY.md §2 rows 21-22) ---
+    mesh_shape: Optional[Tuple[int, ...]] = None   # e.g. (2, 2, 2) over (x, y, z)
+    mesh_axis_names: Tuple[str, ...] = ("x", "y", "z")
+    halo_width: int = 4                 # WENO5 needs 3, order-8 derivs need 4
+
+    quirks: QuirkConfig = dataclasses.field(default_factory=QuirkConfig)
+
+    def replace(self, **kw) -> "LevelSetConfig":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def eps_floor(self) -> float:
+        """WENO epsilon floor clamped so its square stays normal in dtype
+        (see ops.weno.default_eps_floor)."""
+        if self.dtype == jnp.float64:
+            return self.weno_eps_floor
+        # (1e-99)^2 — and even (1e-30)^2 — underflows f32/bf16.
+        return 1e-18
+
+
+#: Configuration that reproduces the reference program's exact behavior
+#: (all quirks on, float64) for bit-level parity studies on CPU.
+REFERENCE_PARITY = LevelSetConfig(
+    dtype=jnp.float64,
+    quirks=QuirkConfig(
+        weno_y_p5_zero=True,
+        deriv8_y_jp1=True,
+        deriv1_plus_sign=True,
+    ),
+)

@@ -1,0 +1,259 @@
+"""Signed-distance initialization from a triangle surface mesh.
+
+Reference behavior (``set3d.f90:196-268``): for each grid node in the
+surface bbox ±3 cells, brute-force scan all triangle *centroids* for the
+nearest, then set phi to the smeared sign of the scalar triple product of
+the vectors to that triangle's vertices; everything else stays +1
+(``set3d.f90:161``).  That ±1 field is a poor init: the reference's
+in-place Gauss–Seidel reinit acts like fast sweeping and repairs it in few
+sweeps, but a data-parallel Jacobi reinit would need O(domain/h) steps to
+*grow* the far field at unit speed.
+
+The TPU-native design therefore initializes with the **exact point-triangle
+distance** (Ericson's region-based closest-point algorithm, vectorized over
+grid-point x triangle-tile blocks with a running argmin scan) and signs it
+with the reference's triple-product orientation test against the nearest
+triangle.  The result is already a signed distance field up to
+edge/vertex-shadow effects, so reinit is a cheap cleanup rather than a
+front-propagation — the "batched BVH-free gather kernel" BASELINE calls
+for.  Everything is one fused jitted function, differentiable w.r.t.
+vertex positions (argmin selection is piecewise-constant; gradients flow
+through the selected closest-point expression).
+
+``initialize_sign_field`` (the reference-parity ±1 variant) is retained for
+parity studies.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..grid.grid import Grid3D
+from .sign import smeared_sign
+
+
+def _dot(u, v):
+    return jnp.sum(u * v, axis=-1)
+
+
+def point_triangle_closest(p, a, b, c):
+    """Closest point on triangle (a, b, c) to each point ``p``.
+
+    Shapes broadcast: typically p is (P, 1, 3) against (1, T, 3) triangles.
+    Branch-free jnp.where version of Ericson, Real-Time Collision
+    Detection §5.1.5.
+    """
+    ab = b - a
+    ac = c - a
+    ap = p - a
+    d1 = _dot(ab, ap)
+    d2 = _dot(ac, ap)
+    bp = p - b
+    d3 = _dot(ab, bp)
+    d4 = _dot(ac, bp)
+    cp = p - c
+    d5 = _dot(ab, cp)
+    d6 = _dot(ac, cp)
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+
+    eps = jnp.asarray(1e-30, p.dtype)
+
+    # edge parameters (guarded divisions)
+    t_ab = d1 / jnp.where(jnp.abs(d1 - d3) > eps, d1 - d3, 1.0)
+    t_ac = d2 / jnp.where(jnp.abs(d2 - d6) > eps, d2 - d6, 1.0)
+    denom_bc = (d4 - d3) + (d5 - d6)
+    t_bc = (d4 - d3) / jnp.where(jnp.abs(denom_bc) > eps, denom_bc, 1.0)
+
+    denom_in = va + vb + vc
+    inv_in = 1.0 / jnp.where(jnp.abs(denom_in) > eps, denom_in, 1.0)
+    v_in = vb * inv_in
+    w_in = vc * inv_in
+
+    # candidate closest points per region
+    cp_a = a
+    cp_b = b
+    cp_c = c
+    cp_ab = a + t_ab[..., None] * ab
+    cp_ac = a + t_ac[..., None] * ac
+    cp_bc = b + t_bc[..., None] * (c - b)
+    cp_in = a + v_in[..., None] * ab + w_in[..., None] * ac
+
+    in_a = (d1 <= 0) & (d2 <= 0)
+    in_b = (d3 >= 0) & (d4 <= d3)
+    in_c = (d6 >= 0) & (d5 <= d6)
+    on_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+    on_ac = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+    on_bc = (va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0)
+
+    out = cp_in
+    out = jnp.where(on_bc[..., None], cp_bc, out)
+    out = jnp.where(on_ac[..., None], cp_ac, out)
+    out = jnp.where(on_ab[..., None], cp_ab, out)
+    out = jnp.where(in_c[..., None], cp_c, out)
+    out = jnp.where(in_b[..., None], cp_b, out)
+    out = jnp.where(in_a[..., None], cp_a, out)
+    return out
+
+
+def nearest_triangle(points, tri, tile: int = 128):
+    """(distance^2, index) of the closest triangle for each point.
+
+    ``points``: (P, 3); ``tri``: (E, 3, 3).  Scans triangle tiles with a
+    running (min, argmin) carry so peak memory is O(P * tile).
+    """
+    P = points.shape[0]
+    E = tri.shape[0]
+    n_tiles = max(1, math.ceil(E / tile))
+    pad = n_tiles * tile - E
+    # pad with far-away degenerate triangles so padding never wins
+    far = jnp.full((pad, 3, 3), 1e30, dtype=tri.dtype)
+    tri_p = jnp.concatenate([tri, far], axis=0).reshape(n_tiles, tile, 3, 3)
+
+    def body(carry, tile_data):
+        best_d, best_i = carry
+        t_block, base = tile_data
+        cp = point_triangle_closest(points[:, None, :],
+                                    t_block[None, :, 0, :],
+                                    t_block[None, :, 1, :],
+                                    t_block[None, :, 2, :])   # (P, T, 3)
+        d = _dot(cp - points[:, None, :], cp - points[:, None, :])  # (P, T)
+        tile_best = jnp.argmin(d, axis=1)
+        tile_d = jnp.take_along_axis(d, tile_best[:, None], axis=1)[:, 0]
+        better = tile_d < best_d
+        best_d = jnp.where(better, tile_d, best_d)
+        best_i = jnp.where(better, base + tile_best.astype(jnp.int32), best_i)
+        return (best_d, best_i), None
+
+    init = (jnp.full((P,), jnp.inf, dtype=points.dtype),
+            jnp.zeros((P,), dtype=jnp.int32))
+    bases = jnp.arange(n_tiles, dtype=jnp.int32) * tile
+    (best_d, best_i), _ = jax.lax.scan(body, init, (tri_p, bases))
+    return best_d, best_i
+
+
+def nearest_centroid(points: jnp.ndarray, centroids: jnp.ndarray,
+                     tile: int = 512) -> jnp.ndarray:
+    """Index of the nearest centroid per point (reference set3d.f90:222-236).
+
+    Matmul-shaped: the per-tile distance is dominated by a (P,3)x(3,T)
+    product on the MXU.  Ties resolve to the lowest index, matching the
+    reference's strict ``<`` scan.
+    """
+    P = points.shape[0]
+    E = centroids.shape[0]
+    n_tiles = max(1, math.ceil(E / tile))
+    pad = n_tiles * tile - E
+    c_pad = jnp.pad(centroids, ((0, pad), (0, 0)))
+    c_tiles = c_pad.reshape(n_tiles, tile, 3)
+    c_norm = jnp.sum(c_tiles * c_tiles, axis=-1)
+    valid = (jnp.arange(n_tiles * tile).reshape(n_tiles, tile) < E)
+    c_norm = jnp.where(valid, c_norm, jnp.inf)
+
+    def body(carry, tile_data):
+        best_d, best_i = carry
+        c_t, cn_t, base = tile_data
+        d = cn_t[None, :] - 2.0 * points @ c_t.T
+        tile_best = jnp.argmin(d, axis=1)
+        tile_d = jnp.take_along_axis(d, tile_best[:, None], axis=1)[:, 0]
+        better = tile_d < best_d
+        best_d = jnp.where(better, tile_d, best_d)
+        best_i = jnp.where(better, base + tile_best.astype(jnp.int32), best_i)
+        return (best_d, best_i), None
+
+    init = (jnp.full((P,), jnp.inf, dtype=points.dtype),
+            jnp.zeros((P,), dtype=jnp.int32))
+    bases = jnp.arange(n_tiles, dtype=jnp.int32) * tile
+    (_, best_i), _ = jax.lax.scan(body, init, (c_tiles, c_norm, bases))
+    return best_i
+
+
+def orientation_sign(points: jnp.ndarray, tri_verts: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """Negated scalar triple product of vectors point -> triangle vertices
+    (set3d.f90:239-258): positive outside a CCW-outward surface."""
+    a = tri_verts[..., 0, :] - points
+    b = tri_verts[..., 1, :] - points
+    c = tri_verts[..., 2, :] - points
+    cross = jnp.cross(a, b)
+    return -jnp.sum(cross * c, axis=-1)
+
+
+def _grid_points(grid: Grid3D, dtype):
+    xs = [grid.origin[a] + grid.dx * jnp.arange(grid.shape[a], dtype=dtype)
+          for a in range(3)]
+    gx, gy, gz = jnp.meshgrid(*xs, indexing="ij")
+    return jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+
+
+@partial(jax.jit, static_argnames=("grid", "dtype", "tile"))
+def signed_distance_init(grid: Grid3D, vertices, elements, *,
+                         dtype=jnp.float32, tile: int = 128):
+    """Exact-distance signed initialization on the full grid (default mode).
+
+    phi0 = sign(orientation vs nearest triangle) * distance(point, surface).
+    Already |grad| = 1 almost everywhere; reinit then only repairs
+    edge-shadow kinks.  Fully jitted and differentiable w.r.t. vertices.
+    """
+    vertices = jnp.asarray(vertices, dtype=dtype)
+    tri = vertices[elements]                    # (E, 3, 3)
+    points = _grid_points(grid, dtype)
+    d2, idx = nearest_triangle(points, tri, tile=tile)
+    ps = orientation_sign(points, tri[idx])
+    sgn = jnp.where(ps < 0, -1.0, 1.0).astype(dtype)
+    dist = jnp.sqrt(jnp.maximum(d2, 1e-30))
+    return (sgn * dist).reshape(grid.shape)
+
+
+def subbox_ranges(grid: Grid3D, lo, hi, margin: int = 3):
+    """Index sub-box per axis, clamped to the grid (set3d.f90:180-186)."""
+    ranges = []
+    for a in range(3):
+        i0 = int(math.floor((lo[a] - grid.origin[a]) / grid.dx)) - margin
+        i1 = int(math.floor((hi[a] - grid.origin[a]) / grid.dx)) + margin
+        ranges.append((max(i0, 0), min(i1, grid.shape[a] - 1)))
+    return ranges
+
+
+def initialize_sign_field(grid: Grid3D, vertices: jnp.ndarray,
+                          elements: jnp.ndarray, *, dtype=jnp.float32,
+                          tile: int = 512, margin: int = 3) -> jnp.ndarray:
+    """Reference-parity smeared ±1 inside/outside field (+1 far field).
+
+    Vectorized form of ``set3d.f90:196-268``: nearest *centroid* search in
+    the bbox±margin sub-box, triple-product sign, smeared with gM = 1.
+    Kept for parity studies; the pipeline defaults to
+    :func:`signed_distance_init`.
+    """
+    vertices = jnp.asarray(vertices, dtype=dtype)
+    tri = vertices[elements]
+    centroids = tri.mean(axis=1)
+
+    lo = np.asarray(jax.lax.stop_gradient(vertices)).min(axis=0)
+    hi = np.asarray(jax.lax.stop_gradient(vertices)).max(axis=0)
+    (i0, i1), (j0, j1), (k0, k1) = subbox_ranges(grid, lo, hi, margin)
+    ni, nj, nk = i1 - i0 + 1, j1 - j0 + 1, k1 - k0 + 1
+
+    @partial(jax.jit, static_argnames=())
+    def _inner(vertices, tri, centroids):
+        xs = grid.origin[0] + grid.dx * (i0 + jnp.arange(ni, dtype=dtype))
+        ys = grid.origin[1] + grid.dx * (j0 + jnp.arange(nj, dtype=dtype))
+        zs = grid.origin[2] + grid.dx * (k0 + jnp.arange(nk, dtype=dtype))
+        gx, gy, gz = jnp.meshgrid(xs, ys, zs, indexing="ij")
+        points = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+        nearest = nearest_centroid(points, centroids, tile=tile)
+        ps = orientation_sign(points, tri[nearest])
+        sgn = smeared_sign(ps, jnp.asarray(grid.dx, dtype),
+                           jnp.asarray(1.0, dtype))
+        phi = jnp.ones(grid.shape, dtype=dtype)
+        return phi.at[i0:i1 + 1, j0:j1 + 1, k0:k1 + 1].set(
+            sgn.reshape(ni, nj, nk))
+
+    return _inner(vertices, tri, centroids)

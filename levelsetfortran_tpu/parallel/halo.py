@@ -1,0 +1,77 @@
+"""Halo exchange over the device mesh (inside ``shard_map``).
+
+The stencil ops need up to radius-4 neighbor data (WENO5: 3; order-8
+derivatives: 4 — SURVEY.md §5).  Each sharded step first exchanges
+``width``-cell halos with face neighbors along every mesh axis using
+``jax.lax.ppermute`` — XLA lowers this to ICI collective-permute on TPU.
+
+Exchanging axes *sequentially on the already-padded array* also fills
+edge/corner halos (the standard dimension-splitting trick), so mixed
+derivatives see correct diagonal neighbors.
+
+Shards on a global boundary have no neighbor: ppermute leaves their halo
+zero-filled, which is harmless because (a) the global deep-interior /
+update masks exclude any cell whose stencil would touch those lanes, and
+(b) ghost values at the global boundary are overwritten by the
+extrapolation BC each step.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .mesh import AXIS_NAMES
+
+
+def _axis_slab(x: jnp.ndarray, axis: int, start: int, size: int):
+    idx = [slice(None)] * x.ndim
+    idx[axis] = slice(start, start + size) if start >= 0 else slice(start, None)
+    return x[tuple(idx)]
+
+
+def halo_exchange_axis(x: jnp.ndarray, width: int, axis: int,
+                       axis_name: str, n_shards: int) -> jnp.ndarray:
+    """Extend ``x`` by ``width`` cells on both sides of ``axis`` with
+    neighbor data (zeros where no neighbor exists)."""
+    if n_shards == 1:
+        zero = jnp.zeros_like(_axis_slab(x, axis, 0, width))
+        return jnp.concatenate([zero, x, zero], axis=axis)
+    fwd = [(i, i + 1) for i in range(n_shards - 1)]       # data flows +axis
+    bwd = [(i + 1, i) for i in range(n_shards - 1)]       # data flows -axis
+    # my last `width` cells become my +1 neighbor's left halo
+    from_left = jax.lax.ppermute(_axis_slab(x, axis, -width, width),
+                                 axis_name, fwd)
+    # my first `width` cells become my -1 neighbor's right halo
+    from_right = jax.lax.ppermute(_axis_slab(x, axis, 0, width),
+                                  axis_name, bwd)
+    return jnp.concatenate([from_left, x, from_right], axis=axis)
+
+
+def halo_exchange(x: jnp.ndarray, width: int,
+                  mesh_shape: Sequence[int],
+                  axis_names: Sequence[str] = AXIS_NAMES) -> jnp.ndarray:
+    """Pad a local block with ``width`` halos along all three axes.
+
+    Must be called inside ``shard_map`` with the named axes live.  The
+    sequential per-axis exchange fills corner/edge halos correctly.
+    """
+    for axis, (name, n) in enumerate(zip(axis_names, mesh_shape)):
+        x = halo_exchange_axis(x, width, axis, name, n)
+    return x
+
+
+def crop(x: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Inverse of :func:`halo_exchange`: drop the halo frame."""
+    sl = tuple(slice(width, -width) for _ in range(3))
+    return x[sl]
+
+
+def local_offsets(mesh_shape: Sequence[int], block_shape: Sequence[int],
+                  axis_names: Sequence[str] = AXIS_NAMES):
+    """Global index offset of this shard's block origin (traced values)."""
+    return tuple(
+        jax.lax.axis_index(name) * b
+        for name, b in zip(axis_names, block_shape))

@@ -1,0 +1,270 @@
+"""Sharded (multi-chip) solver steps: domain-decomposed reinit and min/max
+flow with ICI halo exchange.
+
+This is the subsystem the reference never had (serial-only —
+``README.md:19``); design per SURVEY.md §2 rows 21-22 and §5: the 3D grid is
+block-sharded over a ('x','y','z') device mesh, every pseudo-time step
+exchanges radius-``HALO`` halos with face neighbors (``lax.ppermute`` →
+ICI collective-permute), and scalar reductions (RMS convergence checks) are
+``psum`` all-reduces.  All masks that the single-device ops derive from the
+array shape are derived here from *global* coordinates, so the sharded solver
+is bitwise-equivalent (up to float reduction order) to the single-device one
+— asserted by ``tests/test_parallel.py``.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:  # jax >= 0.6 exposes shard_map at top level
+    from jax import shard_map as _shard_map_mod  # type: ignore[attr-defined]
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops.sign import smeared_sign
+from ..ops.weno import weno_godunov
+from ..ops.derivs import second_derivative
+from ..ops.minmax import seven_point_average
+from .halo import crop, halo_exchange
+from .mesh import AXIS_NAMES, factor3, grid_sharding, make_mesh
+
+HALO = 4   # max stencil radius: WENO5 needs 3, order-8 derivs need 4
+
+
+# ----------------------- global-coordinate masks -----------------------
+
+def _axis_mask(n_local: int, off, n_global: int, depth: int):
+    idx = off + jnp.arange(n_local)
+    return (idx >= depth) & (idx <= n_global - 1 - depth)
+
+
+def _global_interior_mask(block_shape, offs, gshape, depth: int):
+    mx = _axis_mask(block_shape[0], offs[0], gshape[0], depth)
+    my = _axis_mask(block_shape[1], offs[1], gshape[1], depth)
+    mz = _axis_mask(block_shape[2], offs[2], gshape[2], depth)
+    return (mx[:, None, None] & my[None, :, None] & mz[None, None, :])
+
+
+def _offsets(block_shape):
+    return tuple(jax.lax.axis_index(name) * b
+                 for name, b in zip(AXIS_NAMES, block_shape))
+
+
+def _local_boundary_extrapolate(phi_l, dx, offs, gshape):
+    """Global-boundary ghost extrapolation applied locally.
+
+    Each global-boundary cell takes the value at its global index clamped to
+    [1, n-2] (its diagonal-inner neighbor) plus dx — the clamped-index form
+    of the reference BC (subs.f90:858-897).  The clamped source always lies
+    in the same shard as the boundary cell (shards have >= 2 cells/axis).
+    """
+    out = phi_l
+    b = phi_l.shape
+    src = []
+    for a in range(3):
+        g_idx = offs[a] + jnp.arange(b[a])
+        src_l = jnp.clip(g_idx, 1, gshape[a] - 2) - offs[a]
+        src.append(jnp.clip(src_l, 0, b[a] - 1))
+    inner = out[src[0][:, None, None], src[1][None, :, None],
+                src[2][None, None, :]]
+    boundary = ~_global_interior_mask(b, offs, gshape, 1)
+    return jnp.where(boundary, inner + dx, phi_l)
+
+
+# --------------------------- sharded steps ---------------------------
+
+def reinit_step_local(phi_l, sign_l, dx, h, *, gshape, mesh_shape,
+                      eps_scale=1e-6, eps_floor=None,
+                      quirk_y_p5_zero=False):
+    """One Jacobi reinit step on a local block (runs inside shard_map)."""
+    b = phi_l.shape
+    offs = _offsets(b)
+    pad = halo_exchange(phi_l, HALO, mesh_shape)
+    sign_pad = halo_exchange(sign_l, HALO, mesh_shape)
+    pad_offs = tuple(o - HALO for o in offs)
+    deep_pad = _global_interior_mask(pad.shape, pad_offs, gshape, 4)
+    g_pad, _ = weno_godunov(pad, dx, eps_scale=eps_scale,
+                            eps_floor=eps_floor,
+                            quirk_y_p5_zero=quirk_y_p5_zero,
+                            deep_mask=deep_pad, switch=sign_pad)
+    g = crop(g_pad, HALO)
+    sgn = smeared_sign(sign_l, dx, g)
+    update = phi_l + h * sgn * (1.0 - g)
+    interior = _global_interior_mask(b, offs, gshape, 1)
+    phi_new = jnp.where(interior, update, phi_l)
+    return _local_boundary_extrapolate(phi_new, dx, offs, gshape)
+
+
+def minmax_step_local(phi_l, dx, h1, *, gshape, mesh_shape,
+                      band_radius=4.1, threshold=0.0, avg_halfwidth=1):
+    """One Jacobi min/max smoothing step on a local block."""
+    w = max(1, avg_halfwidth)
+    pad = halo_exchange(phi_l, w, mesh_shape)
+    pure, _ = second_derivative(pad, dx)
+    curv = crop(pure.sum(axis=-1), w)
+    pave = crop(seven_point_average(pad, avg_halfwidth), w)
+    f = jnp.where(pave < threshold, jnp.minimum(curv, 0.0),
+                  jnp.maximum(curv, 0.0))
+    nb = jnp.abs(phi_l) < band_radius * dx
+    return jnp.where(nb, phi_l + h1 * f, phi_l)
+
+
+def _global_rms(a, b, gshape):
+    denom = (gshape[0] - 1) * (gshape[1] - 1) * (gshape[2] - 1)
+    d = a - b
+    local = jnp.sum(d * d)
+    total = jax.lax.psum(local, AXIS_NAMES)
+    return jnp.sqrt(total / denom)
+
+
+# --------------------------- public wrappers ---------------------------
+
+class ShardedLevelSet:
+    """Domain-decomposed solver bound to a device mesh.
+
+    Usage::
+
+        s = ShardedLevelSet(mesh, gshape, dx)
+        phi = s.device_put(phi_host)
+        phi, n, rms = s.reinit(phi, h, iters, tol)
+    """
+
+    def __init__(self, mesh, gshape: Tuple[int, int, int], dx: float, *,
+                 eps_scale=1e-6, eps_floor=None, quirk_y_p5_zero=False):
+        self.mesh = mesh
+        self.mesh_shape = tuple(mesh.devices.shape)
+        self.gshape = tuple(gshape)
+        for g, m in zip(self.gshape, self.mesh_shape):
+            if g % m:
+                raise ValueError(
+                    f"global shape {gshape} not divisible by mesh "
+                    f"{self.mesh_shape}; use mesh.pad_to_multiple")
+            if m > 1 and g // m < HALO:
+                raise ValueError(
+                    f"shard blocks need >= {HALO} cells along sharded axes "
+                    f"(axis has {g // m}); single-hop halo exchange cannot "
+                    f"reach past the adjacent shard")
+        self.dx = dx
+        self._step_kw = dict(gshape=self.gshape, mesh_shape=self.mesh_shape,
+                             eps_scale=eps_scale, eps_floor=eps_floor,
+                             quirk_y_p5_zero=quirk_y_p5_zero)
+        self.sharding = grid_sharding(mesh)
+        spec = P(*AXIS_NAMES)
+
+        def _reinit(phi, sign_src, h, iters, tol):
+            def body(state):
+                p, _, n, _, _ = state
+                new = reinit_step_local(p, sign_src, dx, h, **self._step_kw)
+                rms = _global_rms(new, p, self.gshape)
+                done = (rms < tol) | jnp.isnan(rms)
+                return (new, p, n + 1, rms, done)
+
+            def cond(state):
+                _, _, n, _, done = state
+                return (~done) & (n < iters)
+
+            init = (phi, phi, jnp.int32(0), jnp.asarray(jnp.inf, phi.dtype),
+                    jnp.bool_(False))
+            p, _, n, rms, _ = jax.lax.while_loop(cond, body, init)
+            return p, n, rms
+
+        def _minmax(phi, h1, iters, tol, band_radius, threshold):
+            def body(state):
+                p, _, n, _, _ = state
+                new = minmax_step_local(
+                    p, dx, h1, gshape=self.gshape,
+                    mesh_shape=self.mesh_shape, band_radius=band_radius,
+                    threshold=threshold)
+                rms = _global_rms(new, p, self.gshape)
+                done = (rms < tol) | jnp.isnan(rms)
+                return (new, p, n + 1, rms, done)
+
+            def cond(state):
+                _, _, n, _, done = state
+                return (~done) & (n < iters)
+
+            init = (phi, phi, jnp.int32(0), jnp.asarray(jnp.inf, phi.dtype),
+                    jnp.bool_(False))
+            p, _, n, rms, _ = jax.lax.while_loop(cond, body, init)
+            return p, n, rms
+
+        self._reinit = jax.jit(shard_map(
+            _reinit, mesh=mesh,
+            in_specs=(spec, spec, P(), P(), P()),
+            out_specs=(spec, P(), P()),
+            check_vma=False))
+        self._minmax = jax.jit(shard_map(
+            _minmax, mesh=mesh,
+            in_specs=(spec, P(), P(), P(), P(), P()),
+            out_specs=(spec, P(), P()),
+            check_vma=False))
+        self._step = jax.jit(shard_map(
+            lambda p, s, h: reinit_step_local(p, s, dx, h, **self._step_kw),
+            mesh=mesh, in_specs=(spec, spec, P()), out_specs=spec,
+            check_vma=False))
+
+    def device_put(self, phi):
+        return jax.device_put(jnp.asarray(phi), self.sharding)
+
+    def reinit_step(self, phi, sign_src, h):
+        return self._step(phi, sign_src, jnp.asarray(h, phi.dtype))
+
+    def reinit(self, phi, h, iters: int, tol: float, sign_src=None):
+        sign_src = phi if sign_src is None else sign_src
+        dt = phi.dtype
+        return self._reinit(phi, sign_src, jnp.asarray(h, dt),
+                            jnp.int32(iters), jnp.asarray(tol, dt))
+
+    def minmax_flow(self, phi, h1, iters: int, tol: float, *,
+                    band_radius=4.1, threshold=0.0):
+        dt = phi.dtype
+        return self._minmax(phi, jnp.asarray(h1, dt), jnp.int32(iters),
+                            jnp.asarray(tol, dt),
+                            jnp.asarray(band_radius, dt),
+                            jnp.asarray(threshold, dt))
+
+
+# ------------------------------ dry run ------------------------------
+
+def dryrun(n_devices: int) -> None:
+    """Compile + execute one full sharded solver step on tiny shapes over an
+    ``n_devices`` mesh — the driver's multi-chip validation hook."""
+    devs = jax.devices()[:n_devices]
+    mesh_shape = factor3(n_devices)
+    mesh = make_mesh(mesh_shape, devs)
+    # tiny grid divisible by the mesh, >= 2 cells per shard per axis
+    gshape = tuple(max(16, 2 * m) for m in mesh_shape)
+    dx = 0.1
+
+    xs = [jnp.linspace(-1.0, 1.0, g) for g in gshape]
+    gx, gy, gz = jnp.meshgrid(*xs, indexing="ij")
+    phi0 = jnp.sqrt(gx ** 2 + gy ** 2 + gz ** 2) - 0.5
+    phi0 = 2.0 * phi0.astype(jnp.float32)   # distorted: exercise reinit
+
+    solver = ShardedLevelSet(mesh, gshape, dx)
+    phi = solver.device_put(phi0)
+    h = 0.1 * dx
+
+    # full step: reinit sweeps with RMS psum + min/max smoothing step
+    phi, n, rms = solver.reinit(phi, h, iters=3, tol=0.0)
+    phi, n2, rms2 = solver.minmax_flow(phi, 0.01 * dx, iters=2, tol=0.0)
+    phi.block_until_ready()
+    assert np.isfinite(float(rms)) and np.isfinite(float(rms2))
+
+    # gradient flows through the sharded step (vertex-grad all-reduce path)
+    def loss(p):
+        out = solver.reinit_step(p, p, h)
+        return jnp.sum(out * out)
+
+    g = jax.grad(loss)(phi)
+    g.block_until_ready()
+    assert np.isfinite(np.asarray(jax.device_get(g))).all()

@@ -1,0 +1,65 @@
+"""Command-line driver: ``python -m levelsetfortran_tpu <mesh.stl> [...]``.
+
+Replaces the reference's one-positional-arg CLI (``set3d.f90:55``) with real
+flags for every config field the reference hardcodes (SURVEY.md §2 quirk 9).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..config import LevelSetConfig
+from ..utils.logging import configure
+from .run import run
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="levelsetfortran_tpu",
+        description="TPU-native level-set pipeline: STL -> SDF -> smoothing "
+                    "-> advected surface (.vti/.s3d outputs)")
+    d = LevelSetConfig()
+    p.add_argument("mesh", help="input .stl (binary or ascii) or .s3d file")
+    p.add_argument("--dx", type=float, default=d.dx)
+    p.add_argument("--pad-cells", type=int, default=d.pad_cells)
+    p.add_argument("--reinit-iters", type=int, default=d.reinit_iters)
+    p.add_argument("--reinit-cfl", type=float, default=d.reinit_cfl)
+    p.add_argument("--minmax-iters", type=int, default=d.minmax_iters,
+                   help="set 0 to run only the signed-distance part "
+                        "(reference README reduced mode)")
+    p.add_argument("--minmax-cfl", type=float, default=d.minmax_cfl)
+    p.add_argument("--advect-iters", type=int, default=d.advect_iters)
+    p.add_argument("--final-reinit-iters", type=int,
+                   default=d.final_reinit_iters)
+    p.add_argument("--dtype", choices=["float32", "float64", "bfloat16"],
+                   default="float32")
+    p.add_argument("--out-dir", default=None)
+    p.add_argument("--no-outputs", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    configure()
+    args = build_parser().parse_args(argv)
+    import jax.numpy as jnp
+    dtype = {"float32": jnp.float32, "float64": jnp.float64,
+             "bfloat16": jnp.bfloat16}[args.dtype]
+    if dtype == jnp.float64:
+        import jax
+        jax.config.update("jax_enable_x64", True)
+    cfg = LevelSetConfig(
+        dx=args.dx, pad_cells=args.pad_cells,
+        reinit_iters=args.reinit_iters, reinit_cfl=args.reinit_cfl,
+        minmax_iters=args.minmax_iters, minmax_cfl=args.minmax_cfl,
+        advect_iters=args.advect_iters,
+        final_reinit_iters=args.final_reinit_iters, dtype=dtype)
+    result = run(args.mesh, cfg, out_dir=args.out_dir,
+                 write_outputs=not args.no_outputs)
+    print(f"grid={result.grid.shape} reinit_iters={result.reinit_iters} "
+          f"minmax_iters={result.minmax_iters} "
+          f"asymptotic_error={result.asymptotic_error:.3e}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

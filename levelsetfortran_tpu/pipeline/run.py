@@ -1,0 +1,170 @@
+"""End-to-end pipeline: STL -> SDF init -> reinit -> min/max smoothing ->
+node advection -> outputs.
+
+Stage order mirrors the reference main program (call stack in SURVEY.md §3.1,
+``set3d.f90:85-654``); every hardcoded reference literal arrives through
+:class:`~levelsetfortran_tpu.config.LevelSetConfig`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import LevelSetConfig
+from ..grid import grid as gridmod
+from ..io.stl import SurfaceMesh, read_stl
+from ..io.s3d import write_s3d
+from ..io.vti import write_vti
+from ..ops.derivs import first_derivative
+from ..ops.init_sign import initialize_sign_field, signed_distance_init
+from ..solvers.advect import advect_nodes
+from ..solvers.minmax_flow import minmax_flow
+from ..solvers.reinit import reinit
+from ..utils.logging import StageTimer, log_event
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    mesh: SurfaceMesh
+    grid: gridmod.Grid3D
+    phi_init: np.ndarray          # after initial reinit (vti #1 field)
+    phi_smoothed: np.ndarray      # after min/max flow (vti #2 field)
+    phi_final: np.ndarray         # after final reinit
+    advected: np.ndarray          # (n_nodes, 3) advected node coords
+    asymptotic_error: float       # RMS(phi_smoothed - phi_init), set3d.f90:508-521
+    reinit_iters: int
+    minmax_iters: int
+    timers: dict
+
+
+def run(stl_path: str, config: LevelSetConfig = LevelSetConfig(), *,
+        out_dir: Optional[str] = None, write_outputs: bool = True
+        ) -> PipelineResult:
+    """Run the full pipeline on an STL file.
+
+    With ``write_outputs`` it emits ``signedDistanceFunction.vti``,
+    ``smoothedDistanceFunction.vti`` and ``<basename>.s3d`` into ``out_dir``
+    (default: alongside the input), matching the reference's artifact set.
+    """
+    timer = StageTimer()
+    mesh = read_stl(stl_path)
+    return run_mesh(mesh, config, timer=timer,
+                    out_dir=out_dir or os.path.dirname(stl_path) or ".",
+                    base=os.path.splitext(os.path.basename(stl_path))[0],
+                    write_outputs=write_outputs)
+
+
+def run_mesh(mesh: SurfaceMesh, config: LevelSetConfig, *,
+             timer: Optional[StageTimer] = None, out_dir: str = ".",
+             base: str = "surface", write_outputs: bool = False
+             ) -> PipelineResult:
+    """Pipeline on an in-memory mesh (procedural fixtures, tests)."""
+    timer = timer or StageTimer()
+    cfg = config
+    dtype = cfg.dtype
+
+    # --- grid setup (set3d.f90:89-173) ---
+    grid = gridmod.from_surface(mesh.vertices, cfg.dx, cfg.pad_cells)
+    diag = gridmod.surface_diag(mesh.vertices)
+    dxx = cfg.dx / diag                     # normalized step (set3d.f90:301)
+    log_event("grid", shape=list(grid.shape), dx=cfg.dx)
+
+    # --- inside/outside classification (set3d.f90:196-268) ---
+    if cfg.init_mode == "distance":
+        phi0 = signed_distance_init(
+            grid, jnp.asarray(mesh.vertices, dtype),
+            jnp.asarray(mesh.elements), dtype=dtype)
+    else:
+        phi0 = initialize_sign_field(
+            grid, jnp.asarray(mesh.vertices, dtype),
+            jnp.asarray(mesh.elements), dtype=dtype)
+    phi0.block_until_ready()
+    timer.mark("search")                    # set3d.f90:271-273
+
+    # --- initial reinitialization (set3d.f90:298-308) ---
+    r = reinit(phi0, cfg.dx, cfg.reinit_cfl * dxx, cfg.reinit_iters,
+               cfg.reinit_tol, eps_scale=cfg.weno_eps_scale,
+               eps_floor=cfg.eps_floor,
+               quirk_y_p5_zero=cfg.quirks.weno_y_p5_zero)
+    phi_init = r.phi
+    phi_init.block_until_ready()
+    timer.mark("initialization")            # set3d.f90:314-316
+
+    # --- min/max smoothing (set3d.f90:394-462) ---
+    m = minmax_flow(phi_init, cfg.dx, cfg.minmax_cfl * dxx, cfg.minmax_iters,
+                    cfg.minmax_tol, band_radius=cfg.band_radius,
+                    threshold=cfg.minmax_threshold,
+                    avg_halfwidth=cfg.minmax_avg_halfwidth)
+    phi_smoothed = m.phi
+    phi_smoothed.block_until_ready()
+    timer.mark("minmax")
+
+    # --- node advection (set3d.f90:470-501) ---
+    adv = advect_nodes(phi_smoothed, grid,
+                       jnp.asarray(mesh.vertices, dtype), cfg.dx,
+                       iters=cfg.advect_iters, eps=cfg.advect_eps,
+                       order=cfg.advect_grad_order,
+                       stencil_radius=cfg.stencil_band_radius,
+                       quirk_deriv8_y=cfg.quirks.deriv8_y_jp1)
+    timer.mark("advect")
+
+    # --- asymptotic error (set3d.f90:508-521) ---
+    n = grid.shape
+    denom = (n[0] - 1) * (n[1] - 1) * (n[2] - 1)
+    asym = jnp.sqrt(jnp.sum((phi_smoothed - phi_init) ** 2) / denom)
+
+    # --- final reinit (set3d.f90:576-582) ---
+    rf = reinit(phi_smoothed, cfg.dx, cfg.final_reinit_cfl * dxx,
+                cfg.final_reinit_iters, cfg.reinit_tol,
+                eps_scale=cfg.weno_eps_scale, eps_floor=cfg.eps_floor,
+                quirk_y_p5_zero=cfg.quirks.weno_y_p5_zero)
+    phi_final = rf.phi
+    phi_final.block_until_ready()
+    timer.mark("total")                     # set3d.f90:652-654
+
+    # Single batched device->host transfer: per-transfer setup through a
+    # tunneled device is expensive, so every field AND every logging scalar
+    # comes back in one device_get.
+    (phi_init_h, phi_smoothed_h, phi_final_h, advected_h,
+     r_it, r_rms, r_div, m_it, m_rms, m_div, asym) = jax.device_get(
+        (phi_init, phi_smoothed, phi_final, adv.positions,
+         r.iterations, r.final_rms, r.diverged,
+         m.iterations, m.final_rms, m.diverged, asym))
+    phi_init_h = np.asarray(phi_init_h, dtype=np.float64)
+    phi_smoothed_h = np.asarray(phi_smoothed_h, np.float64)
+    phi_final_h = np.asarray(phi_final_h, np.float64)
+    advected_h = np.asarray(advected_h, np.float64)
+    asym = float(asym)
+    log_event("reinit", iterations=int(r_it), rms=float(r_rms),
+              diverged=bool(r_div))
+    log_event("minmax", iterations=int(m_it), rms=float(m_rms),
+              diverged=bool(m_div))
+    log_event("asymptotic_error", rms=asym)
+
+    if write_outputs:
+        os.makedirs(out_dir, exist_ok=True)
+        write_vti(os.path.join(out_dir, "signedDistanceFunction.vti"),
+                  phi_init_h, grid)
+        write_vti(os.path.join(out_dir, "smoothedDistanceFunction.vti"),
+                  phi_smoothed_h, grid)
+        write_s3d(os.path.join(out_dir, base + ".s3d"), mesh, advected_h)
+        log_event("outputs", dir=out_dir)
+
+    return PipelineResult(
+        mesh=mesh, grid=grid, phi_init=phi_init_h,
+        phi_smoothed=phi_smoothed_h, phi_final=phi_final_h,
+        advected=advected_h, asymptotic_error=asym,
+        reinit_iters=int(r_it), minmax_iters=int(m_it),
+        timers=dict(timer.marks))
+
+
+def gradient_magnitude(phi, dx, order: int = 2):
+    """Diagnostic |grad phi| via central differences (set3d.f90:528-536)."""
+    _, mag = first_derivative(jnp.asarray(phi), dx, order=order)
+    return mag

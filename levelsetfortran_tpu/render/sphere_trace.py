@@ -1,0 +1,139 @@
+"""Differentiable sphere-traced SDF renderer.
+
+BASELINE requirement with no reference counterpart (the reference's only
+"visualization" is writing .vti files for ParaView — ``set3d.f90:323-351``):
+ray-march the level-set field by sphere tracing through the trilinear
+sampler, producing depth/normal/shaded images whose pixels are
+differentiable back to the grid field — and, composed with the
+differentiable init/reinit/smoothing stack, back to STL vertex positions.
+
+Gradient design: the march itself runs as a fixed-length ``lax.scan`` of
+masked steps (compiler-friendly static control flow); the hit distance's
+backward pass is defined by *implicit differentiation* of ``phi(o + t d) = 0``
+via ``jax.custom_vjp``, so reverse-mode memory is O(1) in step count:
+
+    dt/dtheta = - (d phi/d theta) / (d phi/d t)      at the hit point.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..grid.grid import Grid3D
+from ..ops.interp import trilinear
+
+
+class RenderResult(NamedTuple):
+    depth: jnp.ndarray        # (H, W) hit distance (t at termination)
+    hit: jnp.ndarray          # (H, W) bool
+    normal: jnp.ndarray       # (H, W, 3) unit normals at hit points
+    image: jnp.ndarray        # (H, W) Lambertian shading
+
+
+def _march(phi, grid, origins, dirs, t0, n_steps, hit_tol, t_max):
+    """Fixed-length masked sphere-trace: t <- t + phi(o + t d)."""
+
+    def step(t, _):
+        p = trilinear(phi, grid, origins + t[..., None] * dirs)
+        active = (jnp.abs(p) > hit_tol) & (t < t_max)
+        return jnp.where(active, t + p, t), None
+
+    t, _ = jax.lax.scan(step, t0, None, length=n_steps)
+    return t
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5, 6))
+def trace_depth(phi, grid: Grid3D, origins, dirs, n_steps: int = 64,
+                hit_tol: float = 1e-3, t_max: float = 1e3):
+    """Hit distance t*(phi) along each ray, differentiable w.r.t. phi and
+    ray geometry via the implicit function theorem."""
+    t0 = jnp.zeros(origins.shape[:-1], dtype=phi.dtype)
+    return _march(phi, grid, origins, dirs, t0, n_steps, hit_tol, t_max)
+
+
+def _trace_fwd(phi, grid, origins, dirs, n_steps, hit_tol, t_max):
+    t = trace_depth(phi, grid, origins, dirs, n_steps, hit_tol, t_max)
+    return t, (phi, origins, dirs, t)
+
+
+def _trace_bwd(grid, n_steps, hit_tol, t_max, res, g):
+    phi, origins, dirs, t = res
+    x = origins + t[..., None] * dirs
+
+    # dphi/dt along the ray at the hit point (directional derivative)
+    def phi_at(tt, o, d):
+        return trilinear(phi, grid, o + tt[..., None] * d)
+
+    dphi_dt = jax.grad(lambda tt: jnp.sum(phi_at(tt, origins, dirs)))(t)
+    # guard: rays that never converged get zero gradient
+    safe = jnp.abs(dphi_dt) > 1e-6
+    inv = jnp.where(safe, -1.0 / jnp.where(safe, dphi_dt, 1.0), 0.0)
+    lam = g * inv                       # adjoint of the implicit equation
+
+    # dt* = lam * dphi(x*; phi, o, d): pull back through the sampler
+    def sample_sum(p, o, d):
+        tt = jax.lax.stop_gradient(t)
+        return jnp.sum(lam * trilinear(p, grid, o + tt[..., None] * d))
+
+    d_phi, d_o, d_d = jax.grad(sample_sum, argnums=(0, 1, 2))(
+        phi, origins, dirs)
+    return d_phi, d_o, d_d
+
+
+trace_depth.defvjp(_trace_fwd, _trace_bwd)
+
+
+def surface_normal(phi, grid: Grid3D, points, eps=None):
+    """Central-difference normal of the sampled field at world points."""
+    eps = grid.dx if eps is None else eps
+    comps = []
+    for a in range(3):
+        off = jnp.zeros((3,), dtype=points.dtype).at[a].set(eps)
+        comps.append((trilinear(phi, grid, points + off)
+                      - trilinear(phi, grid, points - off)) / (2 * eps))
+    n = jnp.stack(comps, axis=-1)
+    mag = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    return n / jnp.maximum(mag, 1e-12)
+
+
+def camera_rays(height: int, width: int, *, eye, target, up=(0.0, 0.0, 1.0),
+                fov_deg: float = 40.0, dtype=jnp.float32):
+    """Pinhole camera ray bundle: returns (origins, directions)."""
+    eye = jnp.asarray(eye, dtype)
+    target = jnp.asarray(target, dtype)
+    up = jnp.asarray(up, dtype)
+    fwd = target - eye
+    fwd = fwd / jnp.linalg.norm(fwd)
+    right = jnp.cross(fwd, up)
+    right = right / jnp.linalg.norm(right)
+    cup = jnp.cross(right, fwd)
+    half = jnp.tan(jnp.deg2rad(fov_deg) / 2.0)
+    ys = jnp.linspace(-half, half, height, dtype=dtype)
+    xs = jnp.linspace(-half * width / height, half * width / height, width,
+                      dtype=dtype)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    dirs = (fwd[None, None] + gx[..., None] * right[None, None]
+            - gy[..., None] * cup[None, None])
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = jnp.broadcast_to(eye, dirs.shape)
+    return origins, dirs
+
+
+def render(phi, grid: Grid3D, origins, dirs, *, n_steps: int = 64,
+           hit_tol: float = 1e-3, t_max: float = 1e3,
+           light=(0.5, -0.7, 1.0)) -> RenderResult:
+    """Sphere-trace + Lambertian shade; every output differentiable in phi."""
+    t = trace_depth(phi, grid, origins, dirs, n_steps, hit_tol, t_max)
+    x = origins + t[..., None] * dirs
+    p_res = trilinear(phi, grid, x)
+    hit = jnp.abs(p_res) < 10.0 * hit_tol
+    n = surface_normal(phi, grid, x)
+    l = jnp.asarray(light, dtype=phi.dtype)
+    l = l / jnp.linalg.norm(l)
+    lambert = jnp.clip(jnp.sum(n * l, axis=-1), 0.0, 1.0)
+    image = jnp.where(hit, 0.1 + 0.9 * lambert, 0.0)
+    return RenderResult(depth=t, hit=hit, normal=n, image=image)

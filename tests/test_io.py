@@ -1,0 +1,124 @@
+"""IO round-trip and reference-format tests (STL, VTI, S3D)."""
+
+import numpy as np
+import pytest
+
+from levelsetfortran_tpu.grid.grid import Grid3D
+from levelsetfortran_tpu.io.s3d import read_s3d, write_s3d
+from levelsetfortran_tpu.io.stl import read_stl, write_stl
+from levelsetfortran_tpu.io.vti import read_vti, write_vti
+from levelsetfortran_tpu.models.analytic import box_mesh, two_cubes_mesh
+
+REF_CUBE = "/root/reference/cube40.stl"
+REF_TWOCUBE = "/root/reference/twoCube10.stl"
+
+
+class TestStl:
+    def test_read_reference_twocube(self):
+        mesh = read_stl(REF_TWOCUBE)
+        # 24 triangles = 2 cubes x 6 faces x 2 tris (SURVEY.md scale-check)
+        assert mesh.n_elems == 24
+        # 2 cubes x 8 corners after dedup
+        assert mesh.n_nodes == 16
+        lo, hi = mesh.bbox()
+        np.testing.assert_allclose(lo, [0, 0, 0], atol=1e-6)
+        np.testing.assert_allclose(hi, [12, 1, 1], atol=1e-6)
+
+    def test_read_reference_cube40(self):
+        mesh = read_stl(REF_CUBE)
+        assert mesh.n_elems == 18276
+        lo, hi = mesh.bbox()
+        assert np.all(lo >= -1.01) and np.all(hi <= 1.01)
+        # every element references valid deduped nodes
+        assert mesh.elements.min() == 0
+        assert mesh.elements.max() == mesh.n_nodes - 1
+
+    def test_dedup_preserves_triangles(self):
+        mesh = read_stl(REF_TWOCUBE)
+        # Re-expanding through the element table must reproduce exact coords
+        tri = mesh.vertices[mesh.elements]
+        assert tri.shape == (24, 3, 3)
+        # all triangles non-degenerate
+        e1 = tri[:, 1] - tri[:, 0]
+        e2 = tri[:, 2] - tri[:, 0]
+        areas = np.linalg.norm(np.cross(e1, e2), axis=1)
+        assert np.all(areas > 1e-8)
+
+    def test_write_read_roundtrip(self, tmp_path):
+        mesh = two_cubes_mesh()
+        p = str(tmp_path / "two.stl")
+        write_stl(p, mesh)
+        again = read_stl(p)
+        assert again.n_elems == mesh.n_elems
+        np.testing.assert_allclose(
+            np.sort(again.vertices, axis=0), np.sort(mesh.vertices, axis=0),
+            atol=1e-6)
+
+    def test_ascii_stl(self, tmp_path):
+        p = tmp_path / "tri.stl"
+        p.write_text(
+            "solid t\n facet normal 0 0 1\n  outer loop\n"
+            "   vertex 0 0 0\n   vertex 1 0 0\n   vertex 0 1 0\n"
+            "  endloop\n endfacet\nendsolid t\n")
+        mesh = read_stl(str(p))
+        assert mesh.n_elems == 1 and mesh.n_nodes == 3
+
+
+class TestVti:
+    def test_roundtrip(self, tmp_path):
+        grid = Grid3D(shape=(7, 5, 6), origin=(-1.0, 0.0, 2.0), dx=0.1)
+        rng = np.random.default_rng(0)
+        phi = rng.normal(size=grid.shape)
+        p = str(tmp_path / "f.vti")
+        write_vti(p, phi, grid)
+        back, g2 = read_vti(p)
+        np.testing.assert_allclose(back, phi)
+        assert g2.shape == grid.shape
+        np.testing.assert_allclose(g2.origin, grid.origin, atol=1e-7)
+        assert abs(g2.dx - grid.dx) < 1e-9
+
+    def test_ref_compat_quirk_byte_count(self, tmp_path):
+        """ref_compat reproduces the (nx+1)**3*24 count (set3d.f90:330);
+        the reader must still parse it correctly."""
+        grid = Grid3D(shape=(4, 4, 4), origin=(0, 0, 0), dx=1.0)
+        phi = np.arange(64, dtype=np.float64).reshape(4, 4, 4)
+        p = str(tmp_path / "q.vti")
+        write_vti(p, phi, grid, ref_compat=True)
+        back, _ = read_vti(p)
+        np.testing.assert_allclose(back, phi)
+        raw = open(p, "rb").read()
+        idx = raw.index(b"_", raw.index(b"AppendedData")) + 1
+        declared = int.from_bytes(raw[idx:idx + 4], "little", signed=True)
+        assert declared == 4 ** 3 * 24   # the quirk value
+
+    def test_payload_is_x_fastest(self, tmp_path):
+        grid = Grid3D(shape=(3, 2, 2), origin=(0, 0, 0), dx=1.0)
+        phi = np.arange(12, dtype=np.float64).reshape(3, 2, 2)
+        p = str(tmp_path / "x.vti")
+        write_vti(p, phi, grid)
+        raw = open(p, "rb").read()
+        idx = raw.index(b"_", raw.index(b"AppendedData")) + 5
+        payload = np.frombuffer(raw, "<f8", count=12, offset=idx)
+        # x-fastest: first 3 entries are phi[:,0,0]
+        np.testing.assert_allclose(payload[:3], phi[:, 0, 0])
+
+
+class TestS3d:
+    def test_roundtrip(self, tmp_path):
+        mesh = box_mesh()
+        p = str(tmp_path / "m.s3d")
+        coords = mesh.vertices + 0.125
+        write_s3d(p, mesh, coords)
+        back = read_s3d(p)
+        assert back.n_elems == mesh.n_elems
+        assert back.n_nodes == mesh.n_nodes
+        np.testing.assert_array_equal(back.elements, mesh.elements)
+        np.testing.assert_allclose(back.vertices, coords)
+
+    def test_header_counts(self, tmp_path):
+        mesh = box_mesh()
+        p = str(tmp_path / "m.s3d")
+        write_s3d(p, mesh)
+        header = open(p).readline().split()
+        assert [int(v) for v in header] == [
+            mesh.n_elems, mesh.n_nodes, 0, 1]

@@ -1,0 +1,78 @@
+"""Sharded-vs-single-device equivalence on an 8-way virtual CPU mesh.
+
+SURVEY.md §4: multi-host behavior is tested the standard JAX way — 8 virtual
+CPU devices (conftest sets ``--xla_force_host_platform_device_count=8``),
+``shard_map`` over a (2,2,2) mesh, asserting halo-exchange equivalence with
+the unsharded single-device result.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from levelsetfortran_tpu.grid.grid import Grid3D
+from levelsetfortran_tpu.models.analytic import sdf_sphere
+from levelsetfortran_tpu.parallel.mesh import factor3, make_mesh
+from levelsetfortran_tpu.parallel.sharded import ShardedLevelSet, dryrun
+from levelsetfortran_tpu.solvers.minmax_flow import minmax_step
+from levelsetfortran_tpu.solvers.reinit import reinit_step
+
+
+def make_phi(n=16, dx=0.1, dtype=jnp.float32):
+    grid = Grid3D(shape=(n, n, n), origin=(-(n - 1) * dx / 2,) * 3, dx=dx)
+    phi = 2.0 * sdf_sphere(grid.coords(dtype), (0, 0, 0), 0.5)
+    return grid, phi
+
+
+class TestFactor3:
+    def test_factors(self):
+        assert sorted(factor3(8)) == [2, 2, 2]
+        assert sorted(factor3(4)) == [1, 2, 2]
+        assert sorted(factor3(2)) == [1, 1, 2]
+        assert factor3(1) == (1, 1, 1)
+        assert np.prod(factor3(6)) == 6
+
+
+class TestShardedEquivalence:
+    @pytest.mark.parametrize("mesh_shape", [(2, 2, 2), (4, 2, 1), (1, 2, 4)])
+    def test_reinit_step_matches_single_device(self, eight_devices,
+                                               mesh_shape):
+        grid, phi = make_phi(16, 0.1)
+        h = 0.01
+        mesh = make_mesh(mesh_shape, eight_devices)
+        solver = ShardedLevelSet(mesh, phi.shape, grid.dx)
+        sharded = solver.reinit_step(solver.device_put(phi), phi, h)
+        single = reinit_step(phi, phi, grid.dx, h)
+        np.testing.assert_allclose(np.asarray(jax.device_get(sharded)),
+                                   np.asarray(single), atol=2e-6)
+
+    def test_multi_step_reinit_matches(self, eight_devices):
+        grid, phi = make_phi(16, 0.1)
+        mesh = make_mesh((2, 2, 2), eight_devices)
+        solver = ShardedLevelSet(mesh, phi.shape, grid.dx)
+        out, n, rms = solver.reinit(solver.device_put(phi), 0.01, 10, 0.0)
+        # single-device: same 10 Jacobi steps
+        ref = phi
+        for _ in range(10):
+            ref = reinit_step(ref, phi, grid.dx, 0.01)
+        np.testing.assert_allclose(np.asarray(jax.device_get(out)),
+                                   np.asarray(ref), atol=1e-5)
+        assert int(n) == 10
+
+    def test_minmax_step_matches(self, eight_devices):
+        grid, phi = make_phi(16, 0.1)
+        mesh = make_mesh((2, 2, 2), eight_devices)
+        solver = ShardedLevelSet(mesh, phi.shape, grid.dx)
+        out, n, rms = solver.minmax_flow(solver.device_put(phi), 0.001, 1, 0.0)
+        ref = minmax_step(phi, grid.dx, 0.001)
+        np.testing.assert_allclose(np.asarray(jax.device_get(out)),
+                                   np.asarray(ref), atol=2e-6)
+
+
+class TestDryrun:
+    def test_dryrun_8(self, eight_devices):
+        dryrun(8)
+
+    def test_dryrun_1(self):
+        dryrun(1)
