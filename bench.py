@@ -3,8 +3,14 @@
 This is the BASELINE.json north-star metric ("WENO5 cell-updates/sec/chip at
 256^3").  The reference publishes no numbers (BASELINE.md); ``vs_baseline``
 is reported against a 2.0e7 cell-updates/s serial-CPU estimate for the
-reference's per-point Gauss-Seidel WENO sweep (O(100) flops/cell on one core
-— the reference is single-threaded by construction, README.md:19).
+reference's per-point Gauss-Seidel WENO sweep (O(400) flops/cell on one
+core — the reference is single-threaded by construction, README.md:19).
+
+Measurement notes (this environment): device dispatch through the axon
+relay is asynchronous and ``block_until_ready`` may return before the work
+finishes, so each timed region is closed by fetching a scalar reduction of
+the result; a warmup fetch first amortizes the one-time device->host
+transfer setup.
 
 Prints exactly ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -18,8 +24,8 @@ import jax.numpy as jnp
 
 N = 256
 DX = 2.0 / (N - 1)
-WARMUP_STEPS = 2
-BENCH_STEPS = 20
+WARMUP_STEPS = 5
+BENCH_STEPS = 40
 SERIAL_BASELINE_CUPS = 2.0e7   # estimated reference serial throughput
 
 
@@ -30,25 +36,35 @@ def make_phi():
     return 2.0 * sphere   # distorted: reinit has real work to do
 
 
-def main():
+def make_runner(steps):
     from levelsetfortran_tpu.solvers.reinit import reinit_fixed
 
-    phi0 = make_phi()
-    h = float(0.1 * DX)   # python scalar: no device constants in the jaxpr
+    @jax.jit
+    def run(p, hh):
+        return jnp.sum(reinit_fixed(p, DX, hh, steps, remat=False))
 
-    step_fn = jax.jit(
-        lambda p, hh: reinit_fixed(p, DX, hh, BENCH_STEPS, remat=False))
+    return run
 
-    # warmup/compile
-    step_fn(phi0, h).block_until_ready()
 
+def bench_steps(runner, phi0, h):
+    """Time a compiled runner, forcing completion via a scalar fetch."""
+    float(runner(phi0, h))          # warmup: compile + first-fetch setup
     t0 = time.perf_counter()
-    out = step_fn(phi0, h)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+    float(runner(phi0, h))          # forces execution + result readback
+    return time.perf_counter() - t0
 
-    cell_updates = N ** 3 * BENCH_STEPS
-    cups = cell_updates / dt
+
+def main():
+    phi0 = make_phi()
+    h = float(0.1 * DX)
+
+    # subtract fixed overhead using two step counts
+    t_small = bench_steps(make_runner(WARMUP_STEPS), phi0, h)
+    t_big = bench_steps(make_runner(BENCH_STEPS), phi0, h)
+    per_step = (t_big - t_small) / (BENCH_STEPS - WARMUP_STEPS)
+    per_step = max(per_step, 1e-9)
+
+    cups = N ** 3 / per_step
     print(json.dumps({
         "metric": "weno5_reinit_cell_updates_per_sec_2563",
         "value": cups,

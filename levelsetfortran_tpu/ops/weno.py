@@ -46,11 +46,22 @@ def _weno5_axis(phi: jnp.ndarray, axis: int, dx, eps_scale, eps_floor,
         return shift(phi, axis, off)
 
     inv_dx = 1.0 / dx
-    ap = (s(3) - 2.0 * s(2) + s(1)) * inv_dx
-    am = (s(-3) - 2.0 * s(-2) + s(-1)) * inv_dx
-    bp = (s(2) - 2.0 * s(1) + phi) * inv_dx
-    bm = (s(-2) - 2.0 * s(-1) + phi) * inv_dx
-    cp = (s(1) - 2.0 * phi + s(-1)) * inv_dx
+    # one-sided first differences: everything below derives from these
+    p0 = (s(-2) - s(-3)) * inv_dx
+    p1 = (s(-1) - s(-2)) * inv_dx
+    p2 = (phi - s(-1)) * inv_dx
+    p3 = (s(1) - phi) * inv_dx
+    p4 = (s(2) - s(1)) * inv_dx
+    p5 = (s(3) - s(2)) * inv_dx
+    p5_eps = jnp.zeros_like(phi) if p5_zero else p5
+
+    # second differences (reference's ap..dm, subs.f90:509-516) are
+    # consecutive differences of the p's — 1 subtraction each
+    ap = p5 - p4
+    am = p1 - p0
+    bp = p4 - p3
+    bm = p2 - p1
+    cp = p3 - p2
     cm = cp
     dp = bm
     dm = bp
@@ -65,40 +76,48 @@ def _weno5_axis(phi: jnp.ndarray, axis: int, dx, eps_scale, eps_floor,
     is2p = smooth(cp, dp, 3.0 * cp - dp)
     is2m = smooth(cm, dm, 3.0 * cm - dm)
 
-    p0 = (s(-2) - s(-3)) * inv_dx
-    p1 = (s(-1) - s(-2)) * inv_dx
-    p2 = (phi - s(-1)) * inv_dx
-    p3 = (s(1) - phi) * inv_dx
-    p4 = (s(2) - s(1)) * inv_dx
-    p5 = jnp.zeros_like(phi) if p5_zero else (s(3) - s(2)) * inv_dx
-
     def maxsq(*xs):
         out = xs[0] * xs[0]
         for x in xs[1:]:
             out = jnp.maximum(out, x * x)
         return out
 
-    epsp = eps_scale * maxsq(p1, p2, p3, p4, p5) + eps_floor
+    epsp = eps_scale * maxsq(p1, p2, p3, p4, p5_eps) + eps_floor
     epsm = eps_scale * maxsq(p0, p1, p2, p3, p4) + eps_floor
 
-    a0p = 1.0 / (epsp + is0p) ** 2
-    a0m = 1.0 / (epsm + is0m) ** 2
-    a1p = 6.0 / (epsp + is1p) ** 2
-    a1m = 6.0 / (epsm + is1m) ** 2
-    a2p = 3.0 / (epsp + is2p) ** 2
-    a2m = 3.0 / (epsm + is2m) ** 2
+    # weights are invariant under d_i -> lambda*d_i, so normalize by the max
+    # and clamp ratios: keeps the 4th-power products inside the normal range
+    # of the dtype (a clamped ratio only perturbs weights below ~1e-14).
+    ratio_floor = 1e-70 if phi.dtype == jnp.float64 else 1e-7
 
-    w0p = a0p / (a0p + a1p + a2p)
-    w0m = a0m / (a0m + a1m + a2m)
-    w2p = a2p / (a0p + a1p + a2p)
-    w2m = a2m / (a0m + a1m + a2m)
+    def weights(eps, is0, is1, is2):
+        # w0 = (1/d0^2) / (1/d0^2 + 6/d1^2 + 3/d2^2) rewritten over the
+        # common denominator (d0 d1 d2)^2: two reciprocals instead of six
+        # divisions (divisions dominate the VPU cost of this kernel).
+        d0 = eps + is0
+        d1 = eps + is1
+        d2 = eps + is2
+        inv_max = 1.0 / jnp.maximum(d0, jnp.maximum(d1, d2))
+        d0 = jnp.maximum(d0 * inv_max, ratio_floor)
+        d1 = jnp.maximum(d1 * inv_max, ratio_floor)
+        d2 = jnp.maximum(d2 * inv_max, ratio_floor)
+        t0 = (d1 * d2) ** 2
+        t1 = 6.0 * (d0 * d2) ** 2
+        t2 = 3.0 * (d0 * d1) ** 2
+        r = 1.0 / (t0 + t1 + t2)
+        return t0 * r, t2 * r          # w0, w2
 
-    pwp = (w0p * (ap - 2.0 * bp + cp) / 3.0
-           + (w2p - 0.5) * (bp - 2.0 * cp + dp) / 6.0)
-    pwm = (w0m * (am - 2.0 * bm + cm) / 3.0
-           + (w2m - 0.5) * (bm - 2.0 * cm + dm) / 6.0)
+    w0p, w2p = weights(epsp, is0p, is1p, is2p)
+    w0m, w2m = weights(epsm, is0m, is1m, is2m)
 
-    common = (-p1 + 7.0 * p2 + 7.0 * p3 - p4) / 12.0
+    third = 1.0 / 3.0
+    sixth = 1.0 / 6.0
+    pwp = (w0p * (ap - 2.0 * bp + cp) * third
+           + (w2p - 0.5) * (bp - 2.0 * cp + dp) * sixth)
+    pwm = (w0m * (am - 2.0 * bm + cm) * third
+           + (w2m - 0.5) * (bm - 2.0 * cm + dm) * sixth)
+
+    common = (-p1 + 7.0 * p2 + 7.0 * p3 - p4) * (1.0 / 12.0)
     return common - pwm, common + pwp
 
 
