@@ -37,6 +37,8 @@ def make_phi():
 
 
 def make_runner(steps):
+    # use_pallas="auto": on TPU this is the fused Pallas WENO5 kernel with a
+    # persistent padded layout (ops/weno_pallas.py); on CPU the jnp path.
     from levelsetfortran_tpu.solvers.reinit import reinit_fixed
 
     @jax.jit

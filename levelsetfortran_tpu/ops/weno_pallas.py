@@ -1,0 +1,565 @@
+"""Fused Pallas TPU kernel for reinitialization pseudo-time steps.
+
+The jnp path (:mod:`.weno` + :mod:`..solvers.reinit`) expresses the step as
+~200 whole-array ops; XLA fuses much of it but the step stays VPU-bound with
+extra materialization around the rolls.  This kernel performs the ENTIRE
+step — HJ-WENO5 one-sided derivatives in all three axes (math of
+``subs.f90:506-644``), first-order boundary fallback (``subs.f90:646-664``),
+Godunov selection (``subs.f90:668-692``), smeared sign (``subs.f90:169``),
+the Euler update ``phi += h*sgn*(1-|grad|)`` (``subs.f90:749-750``) and
+ghost extrapolation BCs (``subs.f90:858-897``) — in ONE pass per tile:
+read into VMEM via double-buffered async DMA, VPU compute, async write-back.
+
+Performance-critical design decisions:
+* **Persistent padded layout.** Multi-step solves (`reinit_scan_pallas`)
+  keep phi in an (nx+2*XA, ny+2*YA, nz) HBM buffer across steps: pad ONCE,
+  scan the padded-in/padded-out kernel, crop at the end.  Apron cells of
+  intermediate outputs are never written (undefined); that is sound because
+  apron values only ever feed WENO branches that the global-coordinate masks
+  select away (`jnp.where` is a lane select — garbage, even NaN, in the
+  unselected branch cannot propagate).  True-boundary cells use the
+  first-order/BC paths, which read at most +-1 cell — always real cells.
+* **Scale-invariant WENO algebra.** The one-sided diffs are computed as raw
+  neighbor differences (no 1/dx): WENO weights are invariant under uniform
+  scaling of the diffs provided the epsilon floor is scaled by dx^2, and the
+  Godunov output is rescaled by 1/dx^2 once at the end — removing ~16
+  multiplies/cell.
+* Grid is tiled over (x, y); z stays whole so z-stencils are in-tile
+  ``pltpu.roll`` ops (wrapped lanes feed masked branches only).  x apron is
+  4 (radius 3 + BC ring); y apron is 8 (Mosaic requires 8-aligned sublane
+  windows).  The Euler update is computed on a +1-cell extended ring so the
+  ghost BC reads *updated* neighbors even at tile edges.
+* Arbitrary grid sizes: padded up to tile multiples, masks use GLOBAL
+  true-grid coordinates, result cropped — tiling/padding are invisible.
+* Backward pass = VJP of the mathematically identical jnp step
+  (``jax.custom_vjp``), keeping the kernel forward-only.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sign import smeared_sign
+from .stencil import boundary_extrapolate, interior_mask
+from .weno import default_eps_floor, weno_godunov
+
+XA = 4     # x apron: WENO radius 3 + 1 ring for the BC clamp
+YA = 8     # y apron: radius 4 rounded up to the sublane alignment (8)
+ZALIGN = 128   # lane alignment: z is padded up to a multiple of this
+
+
+# ----------------------------- jnp reference -----------------------------
+
+def _reinit_step_jnp(phi, sign_src, dx, h, eps_scale, eps_floor,
+                     quirk_y_p5_zero):
+    """The mathematically identical jnp step (VJP source + fallback)."""
+    grad_mag, _ = weno_godunov(phi, dx, eps_scale=eps_scale,
+                               eps_floor=eps_floor,
+                               quirk_y_p5_zero=quirk_y_p5_zero,
+                               switch=sign_src)
+    sgn = smeared_sign(sign_src, dx, grad_mag)
+    update = phi + h * sgn * (1.0 - grad_mag)
+    out = jnp.where(interior_mask(phi.shape, 1), update, phi)
+    return boundary_extrapolate(out, dx)
+
+
+# ------------------------------ kernel body ------------------------------
+
+def _weno5_pair(p0, p1, p2, p3, p4, p5, eps_scale, eps_floor, ratio_floor,
+                p5_zero, _recip=lambda x: 1.0 / x):
+    """(d_minus, d_plus) from the six one-sided diffs (subs.f90:509-552).
+
+    Inputs may be uniformly scaled (e.g. raw differences, no 1/dx) provided
+    ``eps_floor`` carries the matching squared scale.  The algebra is the
+    reference's Jiang-Peng form with common subexpressions shared: with
+    second differences (ap..cm) the reference aliases cm=cp, dp=bm, dm=bp,
+    which makes is1p/is2m share the square of (bp-cp) and is1m/is2p share
+    the square of (bm-cp); equal up to f32 reassociation rounding.
+    """
+    ap = p5 - p4
+    am = p1 - p0
+    bp = p4 - p3
+    bm = p2 - p1
+    cp = p3 - p2
+    # dp_ = bm, dm = bp, cm = cp (reference aliasing)
+
+    ab_p = ap - bp
+    ab_m = am - bm
+    bc_p = bp - cp          # == -(cm - dm)
+    bc_m = bm - cp          # == -(cp - dp_)
+    sq_ab_p = ab_p * ab_p
+    sq_ab_m = ab_m * ab_m
+    sq_bc_p = bc_p * bc_p
+    sq_bc_m = bc_m * bc_m
+
+    def is_term(sq_diff, c):
+        return 13.0 * sq_diff + 3.0 * (c * c)
+
+    is0p = is_term(sq_ab_p, ab_p - 2.0 * bp)      # ap - 3bp
+    is0m = is_term(sq_ab_m, ab_m - 2.0 * bm)      # am - 3bm
+    is1p = is_term(sq_bc_p, bp + cp)
+    is1m = is_term(sq_bc_m, bm + cp)
+    is2p = is_term(sq_bc_m, 3.0 * cp - bm)        # (cp-dp_)^2 == sq_bc_m
+    is2m = is_term(sq_bc_p, 3.0 * cp - bp)        # (cm-dm)^2 == sq_bc_p
+
+    common4 = jnp.maximum(jnp.maximum(p1 * p1, p2 * p2),
+                          jnp.maximum(p3 * p3, p4 * p4))
+    if p5_zero:
+        epsp = eps_scale * common4 + eps_floor
+    else:
+        epsp = eps_scale * jnp.maximum(common4, p5 * p5) + eps_floor
+    epsm = eps_scale * jnp.maximum(common4, p0 * p0) + eps_floor
+
+    def weights(eps, is0, is1, is2):
+        d0 = eps + is0
+        d1 = eps + is1
+        d2 = eps + is2
+        inv_max = _recip(jnp.maximum(d0, jnp.maximum(d1, d2)))
+        d0 = jnp.maximum(d0 * inv_max, ratio_floor)
+        d1 = jnp.maximum(d1 * inv_max, ratio_floor)
+        d2 = jnp.maximum(d2 * inv_max, ratio_floor)
+        t0 = (d1 * d2) ** 2
+        t1 = 6.0 * (d0 * d2) ** 2
+        t2 = 3.0 * (d0 * d1) ** 2
+        r = _recip(t0 + t1 + t2)
+        return t0 * r, t2 * r
+
+    w0p, w2p = weights(epsp, is0p, is1p, is2p)
+    w0m, w2m = weights(epsm, is0m, is1m, is2m)
+
+    third = 1.0 / 3.0
+    sixth = 1.0 / 6.0
+    # ap-2bp+cp == ab_p - bc_p ; bp-2cp+dp_ == bc_p + bc_m (dp_ = bm)
+    # am-2bm+cm == ab_m - bc_m ; bm-2cm+dm == bc_m + bc_p (dm = bp)
+    pwp = (w0p * (ab_p - bc_p) * third
+           + (w2p - 0.5) * (bc_p + bc_m) * sixth)
+    pwm = (w0m * (ab_m - bc_m) * third
+           + (w2m - 0.5) * (bc_m + bc_p) * sixth)
+
+    common = (7.0 * (p2 + p3) - (p1 + p4)) * (1.0 / 12.0)
+    return common - pwm, common + pwp
+
+
+def _roll(v, shift, axis):
+    """jnp.roll semantics on a pltpu.roll that requires shift >= 0."""
+    return pltpu.roll(v, shift % v.shape[axis], axis)
+
+
+def _recip_exact(x):
+    return 1.0 / x
+
+
+def _recip_fast(x):
+    """Hardware approximate reciprocal + one Newton step (~f32 ulp).
+
+    Used only inside the WENO *weight* computation, where the weights are
+    smooth O(1) convex coefficients — a 1-ulp perturbation there moves the
+    derivative estimate far below the discretization error."""
+    r = pl.reciprocal(x, approx=True)
+    return r * (2.0 - x * r)
+
+
+def _godunov_axis(d_m, d_p, pos):
+    """Squared Godunov-selected derivative.
+
+    Both candidates are maxima of non-negative quantities, so
+    max(max(m,0)^2, min(p,0)^2) == max(m, -p, 0)^2 — one square instead of
+    two plus fewer selects.
+    """
+    g_pos = jnp.maximum(jnp.maximum(d_m, -d_p), 0.0)
+    g_neg = jnp.maximum(jnp.maximum(d_p, -d_m), 0.0)
+    g = jnp.where(pos, g_pos, g_neg)
+    return g * g
+
+
+def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
+                 ratio_floor, precise=True):
+    """Padded-in / padded-out kernel.  Both phi and out use the
+    (nxp + 2*XA, nyp + 2*YA, nzp) layout; out aprons are left unwritten.
+    ``nzp`` is the lane-aligned z extent; masks use the TRUE ``gshape``."""
+    nx, ny, nz = gshape           # TRUE grid shape (pre-padding)
+    tx, ty = tile
+    recip = _recip_exact if precise else _recip_fast
+    ex, ey = tx + 2, ty + 2       # extended (+1 BC ring) region
+    wx, wy = tx + 2 * XA, ty + 2 * YA
+
+    def kernel(dx_ref, h_ref, phi_hbm, sign_hbm, out_hbm,
+               pslab, sslab, oslab, in_sems, out_sems):
+        bi = pl.program_id(0)
+        bj = pl.program_id(1)
+        nby = pl.num_programs(1)
+        lin = bi * nby + bj
+        n_blocks = pl.num_programs(0) * nby
+
+        def in_dmas(slot, block_lin):
+            wi = block_lin // nby
+            wj = block_lin % nby
+            p = pltpu.make_async_copy(
+                phi_hbm.at[pl.ds(wi * tx, wx), pl.ds(wj * ty, wy), :],
+                pslab.at[slot], in_sems.at[slot, 0])
+            # sign window needs only the extended ring in x (dim 0 of an HBM
+            # window has no alignment constraint)
+            s = pltpu.make_async_copy(
+                sign_hbm.at[pl.ds(wi * tx + XA - 1, ex),
+                            pl.ds(wj * ty, wy), :],
+                sslab.at[slot], in_sems.at[slot, 1])
+            return p, s
+
+        def out_dma(slot, block_lin):
+            wi = block_lin // nby
+            wj = block_lin % nby
+            return pltpu.make_async_copy(
+                oslab.at[slot],
+                out_hbm.at[pl.ds(XA + wi * tx, tx),
+                           pl.ds(YA + wj * ty, ty), :],
+                out_sems.at[slot])
+
+        @pl.when(lin == 0)
+        def _():
+            p, s = in_dmas(0, 0)
+            p.start()
+            s.start()
+
+        @pl.when(lin + 1 < n_blocks)
+        def _():
+            p, s = in_dmas((lin + 1) % 2, lin + 1)
+            p.start()
+            s.start()
+
+        p, s = in_dmas(lin % 2, lin)
+        p.wait()
+        s.wait()
+        slot = lin % 2
+
+        dx = dx_ref[0, 0]
+        h = h_ref[0, 0]
+        inv_dx2 = 1.0 / (dx * dx)
+        # raw-difference algebra: epsilon floor carries the dx^2 scale
+        eps_floor_s = eps_floor * (dx * dx)
+
+        def pval(xoff, yoff):
+            """phi window values on the extended region, shifted."""
+            return pslab[slot,
+                         XA - 1 + xoff:XA - 1 + xoff + ex,
+                         YA - 1 + yoff:YA - 1 + yoff + ey, :]
+
+        c = pval(0, 0)
+        sgn_src = sslab[slot, :, YA - 1:YA - 1 + ey, :]
+
+        # global true-grid coordinates of the extended region's cells, kept
+        # minimal-rank (broadcast late: comparisons stay 1D until combined)
+        gx = (bi * tx - 1
+              + jax.lax.broadcasted_iota(jnp.int32, (ex, 1, 1), 0))
+        gy = (bj * ty - 1
+              + jax.lax.broadcasted_iota(jnp.int32, (1, ey, 1), 1))
+        gz = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nzp), 2)
+
+        def in_range(g, n, depth):
+            return (g >= depth) & (g <= n - 1 - depth)
+
+        deep = (in_range(gx, nx, 4) & in_range(gy, ny, 4)
+                & in_range(gz, nz, 4))
+        interior = (in_range(gx, nx, 1) & in_range(gy, ny, 1)
+                    & in_range(gz, nz, 1))
+
+        pos = sgn_src > 0.0
+        grad_sq_sum = None
+        for axis in range(3):
+            if axis == 0:
+                def val(off):
+                    return pval(off, 0)
+            elif axis == 1:
+                def val(off):
+                    return pval(0, off)
+            else:
+                def val(off):
+                    # circular in z: wrapped lanes feed masked branches only
+                    return _roll(c, -off, 2) if off else c
+
+            vm3, vm2, vm1 = val(-3), val(-2), val(-1)
+            vp1, vp2, vp3 = val(1), val(2), val(3)
+            p0 = vm2 - vm3
+            p1 = vm1 - vm2
+            p2 = c - vm1
+            p3 = vp1 - c
+            p4 = vp2 - vp1
+            p5 = vp3 - vp2
+
+            w_m, w_p = _weno5_pair(
+                p0, p1, p2, p3, p4, p5, eps_scale, eps_floor_s, ratio_floor,
+                p5_zero=(quirk_y_p5_zero and axis == 1), _recip=recip)
+            # first-order one-sided fallback is exactly (p2, p3)
+            d_m = jnp.where(deep, w_m, p2)
+            d_p = jnp.where(deep, w_p, p3)
+            g_axis = _godunov_axis(d_m, d_p, pos)
+            grad_sq_sum = g_axis if grad_sq_sum is None \
+                else grad_sq_sum + g_axis
+
+        # forward-only kernel: grad_sq_sum >= 0 by construction, sqrt(0)=0
+        # is exact, and the VJP comes from the jnp path — no NaN-guard selects
+        grad_mag = jnp.sqrt(grad_sq_sum * inv_dx2)
+
+        # smeared sign via one rsqrt: s/sqrt(d2) == s*rsqrt(d2); floor keeps
+        # the degenerate point (s=0, gM=0) at 0 instead of NaN
+        d2 = sgn_src * sgn_src + (dx * dx) * grad_mag
+        sgn = sgn_src * jax.lax.rsqrt(jnp.maximum(d2, 1e-30))
+        res = jnp.where(interior, c + h * sgn * (1.0 - grad_mag), c)
+
+        # ghost extrapolation BC: boundary cell = clamped-index inner
+        # neighbor + dx (subs.f90:858-897).  Computed on the extended region,
+        # where every clamp source holds an *updated* value; the ring cells'
+        # own (garbage) results are cropped away.
+        def clamp_axis(v, g, n, axis):
+            lo = _roll(v, -1, axis)   # v[i+1]
+            hi = _roll(v, 1, axis)    # v[i-1]
+            return jnp.where(g == 0, lo, jnp.where(g == n - 1, hi, v))
+
+        inner = clamp_axis(res, gx, nx, 0)
+        inner = clamp_axis(inner, gy, ny, 1)
+        inner = clamp_axis(inner, gz, nz, 2)
+        final = jnp.where(interior, res, inner + dx)
+
+        # write-back: wait for this slot's previous write, then start ours;
+        # drain both slots on the last block.
+        @pl.when(lin >= 2)
+        def _():
+            out_dma(slot, lin - 2).wait()
+
+        oslab[slot] = final[1:1 + tx, 1:1 + ty, :]
+        out_dma(slot, lin).start()
+
+        @pl.when(lin == n_blocks - 1)
+        def _():
+            @pl.when(n_blocks >= 2)
+            def _():
+                out_dma((lin - 1) % 2, lin - 1).wait()
+            out_dma(slot, lin).wait()
+
+    return kernel, (wx, wy), ex
+
+
+def _pick_tile(gshape) -> Tuple[int, int]:
+    """(tx, ty): ty must be a multiple of the sublane tile (8); both are
+    free otherwise since the padded layout supports any grid size."""
+    _, ny, _ = gshape
+    ty = 64 if ny >= 48 else max(8, -(-ny // 8) * 8)
+    return 8, min(ty, 64)
+
+
+def _ceil_to(n, m):
+    return -(-n // m) * m
+
+
+def pad_for_pallas(phi, tile):
+    """Edge-pad a grid into the kernel's persistent padded layout: x/y get
+    aprons + round-up to the tile multiple; z rounds up to lane alignment."""
+    nx, ny, nz = phi.shape
+    tx, ty = tile
+    nxp, nyp = _ceil_to(nx, tx), _ceil_to(ny, ty)
+    nzp = _ceil_to(nz, ZALIGN)
+    pad = ((XA, XA + nxp - nx), (YA, YA + nyp - ny), (0, nzp - nz))
+    return jnp.pad(phi, pad, mode="edge")
+
+
+def crop_from_pallas(phi_pad, gshape):
+    nx, ny, nz = gshape
+    return phi_pad[XA:XA + nx, YA:YA + ny, :nz]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "gshape", "eps_scale", "eps_floor", "quirk_y_p5_zero", "tile",
+    "interpret", "precise"))
+def _pallas_step_padded(phi_pad, sign_pad, dx, h, *, gshape, eps_scale,
+                        eps_floor, quirk_y_p5_zero, tile, interpret,
+                        precise=True):
+    """One step on padded-layout arrays; output aprons are undefined."""
+    nx, ny, nz = gshape
+    tx, ty = tile
+    nxp, nyp = _ceil_to(nx, tx), _ceil_to(ny, ty)
+    nzp = phi_pad.shape[2]
+    ratio_floor = 1e-70 if phi_pad.dtype == jnp.float64 else 1e-7
+    kernel, (wx, wy), ex = _make_kernel(
+        gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
+        ratio_floor, precise=precise or interpret)
+
+    scalar_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                               memory_space=pltpu.SMEM)
+    itemsize = phi_pad.dtype.itemsize
+    slab_bytes = (2 * (wx + ex) * wy + 2 * tx * ty) * nzp * itemsize
+    ext_bytes = ex * (ty + 2) * nzp * itemsize
+    # Mosaic's scheduler keeps ~60 ext-sized temporaries live at peak for
+    # this kernel; budget for them, capped at the hardware scoped-vmem max.
+    vmem_limit = min(100 * 1024 * 1024, int(slab_bytes + 70 * ext_bytes))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(phi_pad.shape, phi_pad.dtype),
+        grid=(nxp // tx, nyp // ty),
+        in_specs=[
+            scalar_spec,
+            scalar_spec,
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, wx, wy, nzp), phi_pad.dtype),
+            pltpu.VMEM((2, ex, wy, nzp), phi_pad.dtype),
+            pltpu.VMEM((2, tx, ty, nzp), phi_pad.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=vmem_limit,
+        ),
+        interpret=interpret,
+    )(jnp.reshape(dx, (1, 1)), jnp.reshape(h, (1, 1)), phi_pad, sign_pad)
+
+
+# ------------------------------ public API ------------------------------
+
+def pallas_supported(shape, dtype) -> bool:
+    """Whether the fused kernel applies: 3D, f32/bf16, and every axis large
+    enough that wrapped z-rolls and aprons stay behind the masks."""
+    if len(shape) != 3 or jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
+                                                   jnp.dtype(jnp.bfloat16)):
+        return False
+    return min(shape) >= 8
+
+
+def _resolve(phi, eps_floor, tile, interpret):
+    if eps_floor is None:
+        eps_floor = default_eps_floor(phi.dtype)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if tile is None:
+        tile = _pick_tile(phi.shape)
+    return float(eps_floor), tuple(tile), bool(interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _fused_step(phi, sign_src, dx, h, eps_scale, eps_floor, quirk_y_p5_zero,
+                tile, interpret):
+    gshape = phi.shape
+    phi_pad = pad_for_pallas(phi, tile)
+    sign_pad = pad_for_pallas(sign_src, tile)
+    out = _pallas_step_padded(phi_pad, sign_pad, dx, h, gshape=gshape,
+                              eps_scale=eps_scale, eps_floor=eps_floor,
+                              quirk_y_p5_zero=quirk_y_p5_zero, tile=tile,
+                              interpret=interpret)
+    return crop_from_pallas(out, gshape)
+
+
+def _fused_fwd(phi, sign_src, dx, h, eps_scale, eps_floor, quirk_y_p5_zero,
+               tile, interpret):
+    out = _fused_step(phi, sign_src, dx, h, eps_scale, eps_floor,
+                      quirk_y_p5_zero, tile, interpret)
+    return out, (phi, sign_src, dx, h)
+
+
+def _fused_bwd(eps_scale, eps_floor, quirk_y_p5_zero, tile, interpret,
+               res, g):
+    phi, sign_src, dx, h = res
+    _, vjp = jax.vjp(
+        lambda p, s, d, hh: _reinit_step_jnp(
+            p, s, d, hh, eps_scale, eps_floor, quirk_y_p5_zero),
+        phi, sign_src, dx, h)
+    return vjp(g)
+
+
+_fused_step.defvjp(_fused_fwd, _fused_bwd)
+
+
+def reinit_step_pallas(phi, sign_src, dx, h, *, eps_scale=1e-6,
+                       eps_floor=None, quirk_y_p5_zero=False, tile=None,
+                       interpret=None):
+    """One full fused reinit step (drop-in for solvers.reinit.reinit_step).
+
+    Falls back to the jnp step when the kernel doesn't apply.  On non-TPU
+    backends the kernel runs in Pallas interpret mode (tests), unless
+    ``interpret=False`` is forced.
+    """
+    phi = jnp.asarray(phi)
+    eps_floor, tile, interpret = _resolve(phi, eps_floor, tile, interpret)
+    dxa = jnp.asarray(dx, phi.dtype)
+    ha = jnp.asarray(h, phi.dtype)
+    if not pallas_supported(phi.shape, phi.dtype):
+        return _reinit_step_jnp(phi, sign_src, dxa, ha, eps_scale, eps_floor,
+                                quirk_y_p5_zero)
+    return _fused_step(phi, jnp.asarray(sign_src, phi.dtype), dxa, ha,
+                       float(eps_scale), eps_floor,
+                       bool(quirk_y_p5_zero), tile, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _fused_scan(phi0, dx, h, steps, eps_scale, eps_floor, quirk_y_p5_zero,
+                tile, interpret, precise):
+    gshape = phi0.shape
+    phi_pad = pad_for_pallas(phi0, tile)
+    sign_pad = phi_pad     # frozen sign source = phi0 (subs.f90:731)
+
+    def step(p, _):
+        out = _pallas_step_padded(p, sign_pad, dx, h, gshape=gshape,
+                                  eps_scale=eps_scale, eps_floor=eps_floor,
+                                  quirk_y_p5_zero=quirk_y_p5_zero,
+                                  tile=tile, interpret=interpret,
+                                  precise=precise)
+        return out, None
+
+    phi_pad, _ = jax.lax.scan(step, phi_pad, None, length=steps)
+    return crop_from_pallas(phi_pad, gshape)
+
+
+def _fused_scan_fwd(phi0, dx, h, steps, eps_scale, eps_floor,
+                    quirk_y_p5_zero, tile, interpret, precise):
+    out = _fused_scan(phi0, dx, h, steps, eps_scale, eps_floor,
+                      quirk_y_p5_zero, tile, interpret, precise)
+    return out, (phi0, dx, h)
+
+
+def _fused_scan_bwd(steps, eps_scale, eps_floor, quirk_y_p5_zero, tile,
+                    interpret, precise, res, g):
+    phi0, dx, h = res
+
+    def jnp_scan(p0, d, hh):
+        def step(p, _):
+            new = jax.checkpoint(
+                lambda q: _reinit_step_jnp(q, p0, d, hh, eps_scale,
+                                           eps_floor, quirk_y_p5_zero))(p)
+            return new, None
+        out, _ = jax.lax.scan(step, p0, None, length=steps)
+        return out
+
+    _, vjp = jax.vjp(jnp_scan, phi0, dx, h)
+    return vjp(g)
+
+
+_fused_scan.defvjp(_fused_scan_fwd, _fused_scan_bwd)
+
+
+def reinit_scan_pallas(phi0, dx, h, steps: int, *, eps_scale=1e-6,
+                       eps_floor=None, quirk_y_p5_zero=False, tile=None,
+                       interpret=None, precise=True):
+    """``steps`` fused reinit steps with a persistent padded layout: one pad
+    at entry, one crop at exit, zero layout traffic per step.  Sign source
+    is frozen at phi0 (Sussman et al.), like solvers.reinit.
+
+    Differentiable: backward replays the jnp step under jax.checkpoint.
+    """
+    phi0 = jnp.asarray(phi0)
+    eps_floor, tile, interpret = _resolve(phi0, eps_floor, tile, interpret)
+    if not pallas_supported(phi0.shape, phi0.dtype):
+        from ..solvers.reinit import reinit_fixed
+        return reinit_fixed(phi0, dx, h, steps, eps_scale=eps_scale,
+                            eps_floor=eps_floor,
+                            quirk_y_p5_zero=quirk_y_p5_zero)
+    return _fused_scan(phi0, jnp.asarray(dx, phi0.dtype),
+                       jnp.asarray(h, phi0.dtype), int(steps),
+                       float(eps_scale), eps_floor, bool(quirk_y_p5_zero),
+                       tile, interpret, bool(precise))

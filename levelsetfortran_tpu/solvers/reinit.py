@@ -68,17 +68,64 @@ def _rms(a, b, shape):
     return jnp.sqrt(jnp.sum(d * d) / denom)
 
 
+def _use_pallas(use_pallas, phi, grad_fn) -> bool:
+    """"auto" enables the fused kernel on real TPU when it applies."""
+    from ..ops.weno_pallas import pallas_supported
+    if grad_fn is not None:
+        return False
+    if use_pallas == "auto":
+        return (jax.default_backend() == "tpu"
+                and pallas_supported(phi.shape, phi.dtype))
+    return bool(use_pallas)
+
+
 @partial(jax.jit, static_argnames=("iters", "eps_scale", "eps_floor",
-                                   "quirk_y_p5_zero", "grad_fn"))
+                                   "quirk_y_p5_zero", "grad_fn",
+                                   "use_pallas", "precise"))
 def reinit(phi0, dx, h, iters: int, tol, *, eps_scale=1e-6, eps_floor=None,
-           quirk_y_p5_zero=False, grad_fn=None) -> ReinitResult:
+           quirk_y_p5_zero=False, grad_fn=None, use_pallas="auto",
+           precise=False) -> ReinitResult:
     """Run up to ``iters`` Jacobi steps, stopping early at RMS < tol.
 
     Uses ``lax.while_loop`` (forward-only; for the differentiable pipeline
-    use :func:`reinit_fixed`).
+    use :func:`reinit_fixed`).  With ``use_pallas`` (default: auto-on for
+    f32/bf16 on TPU) each step is the fused Pallas kernel operating on a
+    persistent padded layout; ``precise=True`` forces bit-exact reciprocals
+    in the WENO weights instead of Newton-refined hardware reciprocals
+    (~1 ulp, measurably indistinguishable in the converged field).
     """
     phi_sign_src = phi0
     shape = phi0.shape
+
+    if _use_pallas(use_pallas, phi0, grad_fn):
+        from ..ops import weno_pallas as wp
+        eps_floor_r, tile, interpret = wp._resolve(phi0, eps_floor, None,
+                                                   None)
+        dxa = jnp.asarray(dx, phi0.dtype)
+        ha = jnp.asarray(h, phi0.dtype)
+        phi_pad0 = wp.pad_for_pallas(phi0, tile)
+
+        def body(state):
+            p, _, n, _, _ = state
+            new = wp._pallas_step_padded(
+                p, phi_pad0, dxa, ha, gshape=shape, eps_scale=eps_scale,
+                eps_floor=eps_floor_r, quirk_y_p5_zero=quirk_y_p5_zero,
+                tile=tile, interpret=interpret, precise=precise)
+            rms = _rms(wp.crop_from_pallas(new, shape),
+                       wp.crop_from_pallas(p, shape), shape)
+            done = (rms < tol) | jnp.isnan(rms)
+            return (new, p, n + 1, rms, done)
+
+        def cond(state):
+            _, _, n, rms, done = state
+            return (~done) & (n < iters)
+
+        init = (phi_pad0, phi_pad0, jnp.int32(0),
+                jnp.asarray(jnp.inf, phi0.dtype), jnp.bool_(False))
+        phi_pad, _, n, rms, _ = jax.lax.while_loop(cond, body, init)
+        return ReinitResult(phi=wp.crop_from_pallas(phi_pad, shape),
+                            iterations=n, final_rms=rms,
+                            diverged=jnp.isnan(rms))
 
     def cond(state):
         _, _, n, rms, done = state
@@ -101,15 +148,26 @@ def reinit(phi0, dx, h, iters: int, tol, *, eps_scale=1e-6, eps_floor=None,
 
 
 @partial(jax.jit, static_argnames=("steps", "eps_scale", "eps_floor",
-                                   "quirk_y_p5_zero", "grad_fn", "remat"))
+                                   "quirk_y_p5_zero", "grad_fn", "remat",
+                                   "use_pallas", "precise"))
 def reinit_fixed(phi0, dx, h, steps: int, *, eps_scale=1e-6, eps_floor=None,
-                 quirk_y_p5_zero=False, grad_fn=None, remat=True):
+                 quirk_y_p5_zero=False, grad_fn=None, remat=True,
+                 use_pallas="auto", precise=False):
     """Fixed-step reinit via ``lax.scan`` — reverse-mode differentiable.
 
     Each step is rematerialized (``jax.checkpoint``) so backward memory is
     O(1) in step count — the HBM-for-FLOPs trade that makes end-to-end
-    pixel->vertex gradients feasible at 256^3.
+    pixel->vertex gradients feasible at 256^3.  ``use_pallas``/``precise``
+    as in :func:`reinit`; the Pallas path's backward replays the jnp step
+    under jax.checkpoint.
     """
+    if _use_pallas(use_pallas, phi0, grad_fn):
+        from ..ops.weno_pallas import reinit_scan_pallas
+        return reinit_scan_pallas(phi0, dx, h, steps, eps_scale=eps_scale,
+                                  eps_floor=eps_floor,
+                                  quirk_y_p5_zero=quirk_y_p5_zero,
+                                  precise=precise)
+
     phi_sign_src = phi0
 
     def step(phi, _):
