@@ -82,19 +82,22 @@ def _use_pallas(use_pallas, phi, grad_fn) -> bool:
 @partial(jax.jit, static_argnames=("iters", "eps_scale", "eps_floor",
                                    "quirk_y_p5_zero", "grad_fn",
                                    "use_pallas", "precise"))
-def reinit(phi0, dx, h, iters: int, tol, *, eps_scale=1e-6, eps_floor=None,
-           quirk_y_p5_zero=False, grad_fn=None, use_pallas="auto",
-           precise=False) -> ReinitResult:
+def reinit(phi0, dx, h, iters: int, tol, *, sign_src=None, eps_scale=1e-6,
+           eps_floor=None, quirk_y_p5_zero=False, grad_fn=None,
+           use_pallas="auto", precise=False) -> ReinitResult:
     """Run up to ``iters`` Jacobi steps, stopping early at RMS < tol.
 
     Uses ``lax.while_loop`` (forward-only; for the differentiable pipeline
-    use :func:`reinit_fixed`).  With ``use_pallas`` (default: auto-on for
+    use :func:`reinit_fixed`).  ``sign_src`` is the frozen sign-source
+    field (default: phi0) — pass the original field when continuing a
+    partially-relaxed solve (e.g. checkpoint resume) so the trajectory is
+    identical to an uninterrupted run.  With ``use_pallas`` (default: auto-on for
     f32/bf16 on TPU) each step is the fused Pallas kernel operating on a
     persistent padded layout; ``precise=True`` forces bit-exact reciprocals
     in the WENO weights instead of Newton-refined hardware reciprocals
     (~1 ulp, measurably indistinguishable in the converged field).
     """
-    phi_sign_src = phi0
+    phi_sign_src = phi0 if sign_src is None else sign_src
     shape = phi0.shape
 
     if _use_pallas(use_pallas, phi0, grad_fn):
@@ -104,11 +107,14 @@ def reinit(phi0, dx, h, iters: int, tol, *, eps_scale=1e-6, eps_floor=None,
         dxa = jnp.asarray(dx, phi0.dtype)
         ha = jnp.asarray(h, phi0.dtype)
         phi_pad0 = wp.pad_for_pallas(phi0, tile)
+        sign_pad = (phi_pad0 if sign_src is None
+                    else wp.pad_for_pallas(jnp.asarray(sign_src, phi0.dtype),
+                                           tile))
 
         def body(state):
             p, _, n, _, _ = state
             new = wp._pallas_step_padded(
-                p, phi_pad0, dxa, ha, gshape=shape, eps_scale=eps_scale,
+                p, sign_pad, dxa, ha, gshape=shape, eps_scale=eps_scale,
                 eps_floor=eps_floor_r, quirk_y_p5_zero=quirk_y_p5_zero,
                 tile=tile, interpret=interpret, precise=precise)
             rms = _rms(wp.crop_from_pallas(new, shape),

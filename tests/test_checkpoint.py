@@ -1,0 +1,80 @@
+"""Checkpoint/resume + divergence detection + profiling counters."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from levelsetfortran_tpu.solvers.checkpointed import (
+    minmax_resumable, reinit_resumable)
+from levelsetfortran_tpu.solvers.reinit import reinit
+from levelsetfortran_tpu.utils.checkpoint import FieldCheckpointer
+from levelsetfortran_tpu.utils.profiling import measure_cell_updates_per_sec
+
+
+def _sphere(n=24, dx=0.1, scale=2.0):
+    xs = jnp.linspace(-1.2, 1.2, n, dtype=jnp.float32)
+    gx, gy, gz = jnp.meshgrid(xs, xs, xs, indexing="ij")
+    return scale * (jnp.sqrt(gx ** 2 + gy ** 2 + gz ** 2) - 0.6)
+
+
+def test_checkpointer_roundtrip(tmp_path):
+    phi = _sphere(16)
+    with FieldCheckpointer(str(tmp_path / "ck")) as ck:
+        assert ck.latest_step() is None
+        ck.save(3, phi, extra={"rms": 0.5}, wait=True)
+        state = ck.restore()
+    assert state["step"] == 3
+    assert state["extra"]["rms"] == 0.5
+    np.testing.assert_array_equal(np.asarray(state["phi"]), np.asarray(phi))
+
+
+def test_reinit_resume_reaches_same_fixed_point(tmp_path):
+    phi0 = _sphere()
+    dx, h, tol = 0.1, 0.005, 1e-6
+
+    full = reinit_resumable(phi0, dx, h, 60, tol, chunk=60)
+    assert full.resumed_from is None
+
+    # interrupted: run 2 chunks, then "restart the process" with a fresh
+    # manager over the same directory and continue to completion
+    ckdir = str(tmp_path / "ck")
+    with FieldCheckpointer(ckdir) as ck:
+        part = reinit_resumable(phi0, dx, h, 20, tol, ckpt=ck, chunk=10)
+    assert part.iterations == 20 and not part.converged
+    with FieldCheckpointer(ckdir) as ck:
+        resumed = reinit_resumable(phi0, dx, h, 60, tol, ckpt=ck, chunk=10)
+    assert resumed.resumed_from == 20
+
+    # step-for-step identical: chunking freezes the sign source at the
+    # original phi0, so chunk/resume boundaries are invisible
+    np.testing.assert_array_equal(np.asarray(resumed.phi),
+                                  np.asarray(full.phi))
+
+
+def test_divergence_detection():
+    phi0 = _sphere(16)
+    # an absurd step size makes the Euler update unstable: RMS must rise and
+    # the chunked driver must stop with diverged=True before iters run out
+    res = reinit_resumable(phi0, 0.1, 5.0, 500, 0.0, chunk=10)
+    assert res.diverged
+    assert res.iterations < 500
+
+
+def test_minmax_resumable_runs(tmp_path):
+    phi0 = _sphere()
+    res = minmax_resumable(phi0, 0.1, 0.001, 20, 0.0, chunk=7)
+    assert res.iterations == 20
+
+
+def test_throughput_counter():
+    from levelsetfortran_tpu.solvers.reinit import reinit_fixed
+    phi0 = _sphere(16)
+
+    def scan(n):
+        return lambda p: reinit_fixed(p, 0.1, 0.005, n, remat=False,
+                                      use_pallas=False)
+
+    out = measure_cell_updates_per_sec(scan, phi0, warmup_steps=1,
+                                       bench_steps=4)
+    assert out["cell_updates_per_sec"] > 0
+    assert out["cells"] == 16 ** 3
