@@ -52,13 +52,25 @@ class SurfaceMesh:
         return self.vertices.min(axis=0), self.vertices.max(axis=0)
 
 
+#: Reference dedup tolerance (subs.f90:79-81).
+DEDUP_TOL = 1e-13
+
+
 def _dedup_vertices(tri_verts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """First-occurrence-order dedup of (n, 3) float32 vertex rows.
 
     Returns (unique_vertices, inverse) with ``unique_vertices[inverse] ==
     tri_verts`` and unique rows ordered by first appearance — the same
     numbering the reference's linear-scan dedup produces.
+
+    Fast path: the native C++ spatial hash (O(n), true per-coordinate
+    tolerance like the reference); fallback: vectorized exact-bit np.unique.
     """
+    from .. import native
+    nat = native.dedup_vertices(tri_verts, tol=DEDUP_TOL)
+    if nat is not None:
+        verts, inverse = nat
+        return verts.astype(np.float32), inverse
     # View each xyz row as bytes so unique is exact (bit-level) and fast.
     as_void = np.ascontiguousarray(tri_verts).view(
         np.dtype((np.void, tri_verts.dtype.itemsize * 3))
