@@ -35,11 +35,20 @@ class MinMaxResult(NamedTuple):
 
 def minmax_step(phi, dx, h1, *, band_radius=4.1, threshold=0.0,
                 avg_halfwidth=1, use_true_curvature=False):
-    """One Jacobi min/max Euler step gated by the active narrow band."""
+    """One Jacobi min/max Euler step gated by the active narrow band.
+
+    The update is additionally gated to the grid interior: the reference
+    loops the full grid (set3d.f90:399,417) but its stencils at face cells
+    would read out of bounds — it implicitly relies on the far-field pad
+    keeping the band off the faces.  Masking the faces gives well-defined
+    semantics that coincide with the reference wherever the reference is
+    defined (and makes the Pallas kernel's apron reads provably inert).
+    """
+    from ..ops.stencil import interior_mask
     nb, _ = narrow_band(phi, dx, band_radius, band_radius)
     f = minmax_rhs(phi, dx, threshold=threshold, avg_halfwidth=avg_halfwidth,
                    use_true_curvature=use_true_curvature)
-    return jnp.where(nb, phi + h1 * f, phi)
+    return jnp.where(nb & interior_mask(phi.shape, 1), phi + h1 * f, phi)
 
 
 def _rms(a, b, shape):
@@ -48,13 +57,57 @@ def _rms(a, b, shape):
     return jnp.sqrt(jnp.sum(d * d) / denom)
 
 
+def _route_pallas(use_pallas, phi, avg_halfwidth, use_true_curvature):
+    from ..ops.minmax_pallas import minmax_pallas_applicable
+    if use_pallas == "auto":
+        return (jax.default_backend() == "tpu"
+                and minmax_pallas_applicable(phi, avg_halfwidth,
+                                             use_true_curvature))
+    return bool(use_pallas)
+
+
 @partial(jax.jit, static_argnames=("iters", "avg_halfwidth",
-                                   "use_true_curvature"))
+                                   "use_true_curvature", "use_pallas"))
 def minmax_flow(phi0, dx, h1, iters: int, tol, *, band_radius=4.1,
                 threshold=0.0, avg_halfwidth=1,
-                use_true_curvature=False) -> MinMaxResult:
-    """Run up to ``iters`` smoothing steps with RMS early exit."""
+                use_true_curvature=False,
+                use_pallas="auto") -> MinMaxResult:
+    """Run up to ``iters`` smoothing steps with RMS early exit.
+
+    ``use_pallas`` (default auto-on for f32/bf16 on TPU, default solver
+    configuration) runs each step as the fused radius-1 Pallas kernel on a
+    persistent padded layout.
+    """
     shape = phi0.shape
+
+    if _route_pallas(use_pallas, phi0, avg_halfwidth, use_true_curvature):
+        from ..ops import minmax_pallas as mp
+        tile = mp._pick_tile(shape)
+        interpret = jax.default_backend() != "tpu"
+        dt = phi0.dtype
+        phi_pad0 = mp.pad_for_pallas(phi0, tile)
+        args = (jnp.asarray(dx, dt), jnp.asarray(h1, dt),
+                jnp.asarray(band_radius, dt), jnp.asarray(threshold, dt))
+
+        def body(state):
+            p, _, n, _, _ = state
+            new = mp.minmax_step_padded(p, *args, gshape=shape, tile=tile,
+                                        interpret=interpret)
+            rms = _rms(mp.crop_from_pallas(new, shape),
+                       mp.crop_from_pallas(p, shape), shape)
+            done = (rms < tol) | jnp.isnan(rms)
+            return (new, p, n + 1, rms, done)
+
+        def cond(state):
+            _, _, n, rms, done = state
+            return (~done) & (n < iters)
+
+        init = (phi_pad0, phi_pad0, jnp.int32(0),
+                jnp.asarray(jnp.inf, dt), jnp.bool_(False))
+        phi_pad, _, n, rms, _ = jax.lax.while_loop(cond, body, init)
+        return MinMaxResult(phi=mp.crop_from_pallas(phi_pad, shape),
+                            iterations=n, final_rms=rms,
+                            diverged=jnp.isnan(rms))
 
     def cond(state):
         _, _, n, rms, done = state
@@ -77,11 +130,18 @@ def minmax_flow(phi0, dx, h1, iters: int, tol, *, band_radius=4.1,
 
 
 @partial(jax.jit, static_argnames=("steps", "avg_halfwidth",
-                                   "use_true_curvature", "remat"))
+                                   "use_true_curvature", "remat",
+                                   "use_pallas"))
 def minmax_flow_fixed(phi0, dx, h1, steps: int, *, band_radius=4.1,
                       threshold=0.0, avg_halfwidth=1,
-                      use_true_curvature=False, remat=True):
+                      use_true_curvature=False, remat=True,
+                      use_pallas="auto"):
     """Fixed-step differentiable variant (scan + per-step remat)."""
+    if _route_pallas(use_pallas, phi0, avg_halfwidth, use_true_curvature):
+        from ..ops.minmax_pallas import minmax_scan_pallas
+        return minmax_scan_pallas(phi0, dx, h1, steps,
+                                  band_radius=band_radius,
+                                  threshold=threshold)
 
     def step(phi, _):
         return minmax_step(phi, dx, h1, band_radius=band_radius,
