@@ -104,6 +104,40 @@ def reinit_step_local(phi_l, sign_l, dx, h, *, gshape, mesh_shape,
     return _local_boundary_extrapolate(phi_new, dx, offs, gshape)
 
 
+def reinit_k_steps_local(phi_l, sign_l, dx, h, k, *, gshape, mesh_shape,
+                         eps_scale=1e-6, eps_floor=None,
+                         quirk_y_p5_zero=False):
+    """``k`` Jacobi reinit steps per ONE halo exchange (halo-deep
+    pipelining / communication avoidance).
+
+    Exchanges a width-3k halo (WENO radius 3 per step), then steps k times
+    on the padded array; validity shrinks by 3 cells per step, so the owned
+    region is exact — bitwise the same cells as k single-exchange steps.
+    Trades (2w)^d/B^d redundant compute for k-fold fewer ICI messages: the
+    win when small blocks make the exchange latency-bound (the pattern
+    SURVEY.md §5 calls halo-deep pipelining, target >= 80% scaling
+    efficiency).
+    """
+    w = 3 * int(k)
+    b = phi_l.shape
+    offs = _offsets(b)
+    pad = halo_exchange(phi_l, w, mesh_shape)
+    spad = halo_exchange(sign_l, w, mesh_shape)
+    pad_offs = tuple(o - w for o in offs)
+    deep = _global_interior_mask(pad.shape, pad_offs, gshape, 4)
+    interior = _global_interior_mask(pad.shape, pad_offs, gshape, 1)
+    for _ in range(int(k)):
+        g, _ = weno_godunov(pad, dx, eps_scale=eps_scale,
+                            eps_floor=eps_floor,
+                            quirk_y_p5_zero=quirk_y_p5_zero,
+                            deep_mask=deep, switch=spad)
+        sgn = smeared_sign(spad, dx, g)
+        upd = pad + h * sgn * (1.0 - g)
+        pad = jnp.where(interior, upd, pad)
+        pad = _local_boundary_extrapolate(pad, dx, pad_offs, gshape)
+    return crop(pad, w)
+
+
 def minmax_step_local(phi_l, dx, h1, *, gshape, mesh_shape,
                       band_radius=4.1, threshold=0.0, avg_halfwidth=1):
     """One Jacobi min/max smoothing step on a local block."""
@@ -139,20 +173,25 @@ class ShardedLevelSet:
     """
 
     def __init__(self, mesh, gshape: Tuple[int, int, int], dx: float, *,
-                 eps_scale=1e-6, eps_floor=None, quirk_y_p5_zero=False):
+                 eps_scale=1e-6, eps_floor=None, quirk_y_p5_zero=False,
+                 steps_per_exchange: int = 1):
         self.mesh = mesh
         self.mesh_shape = tuple(mesh.devices.shape)
         self.gshape = tuple(gshape)
+        self.k = int(steps_per_exchange)
+        if self.k < 1:
+            raise ValueError("steps_per_exchange must be >= 1")
+        halo_need = max(HALO, 3 * self.k)
         for g, m in zip(self.gshape, self.mesh_shape):
             if g % m:
                 raise ValueError(
                     f"global shape {gshape} not divisible by mesh "
                     f"{self.mesh_shape}; use mesh.pad_to_multiple")
-            if m > 1 and g // m < HALO:
+            if m > 1 and g // m < halo_need:
                 raise ValueError(
-                    f"shard blocks need >= {HALO} cells along sharded axes "
-                    f"(axis has {g // m}); single-hop halo exchange cannot "
-                    f"reach past the adjacent shard")
+                    f"shard blocks need >= {halo_need} cells along sharded "
+                    f"axes (axis has {g // m}); single-hop halo exchange "
+                    f"cannot reach past the adjacent shard")
         self.dx = dx
         self._step_kw = dict(gshape=self.gshape, mesh_shape=self.mesh_shape,
                              eps_scale=eps_scale, eps_floor=eps_floor,
@@ -160,13 +199,20 @@ class ShardedLevelSet:
         self.sharding = grid_sharding(mesh)
         spec = P(*AXIS_NAMES)
 
+        k = self.k
+
         def _reinit(phi, sign_src, h, iters, tol):
             def body(state):
                 p, _, n, _, _ = state
-                new = reinit_step_local(p, sign_src, dx, h, **self._step_kw)
+                if k == 1:
+                    new = reinit_step_local(p, sign_src, dx, h,
+                                            **self._step_kw)
+                else:
+                    new = reinit_k_steps_local(p, sign_src, dx, h, k,
+                                               **self._step_kw)
                 rms = _global_rms(new, p, self.gshape)
                 done = (rms < tol) | jnp.isnan(rms)
-                return (new, p, n + 1, rms, done)
+                return (new, p, n + k, rms, done)
 
             def cond(state):
                 _, _, n, _, done = state
@@ -259,6 +305,13 @@ def dryrun(n_devices: int) -> None:
     phi, n2, rms2 = solver.minmax_flow(phi, 0.01 * dx, iters=2, tol=0.0)
     phi.block_until_ready()
     assert np.isfinite(float(rms)) and np.isfinite(float(rms2))
+
+    # halo-deep pipelining path: k local steps per width-3k exchange
+    solver2 = ShardedLevelSet(mesh, gshape, dx, steps_per_exchange=2)
+    phi2, _, rms3 = solver2.reinit(solver2.device_put(phi0), h, iters=4,
+                                   tol=0.0)
+    phi2.block_until_ready()
+    assert np.isfinite(float(rms3))
 
     # gradient flows through the sharded step (vertex-grad all-reduce path)
     def loss(p):

@@ -76,3 +76,28 @@ class TestDryrun:
 
     def test_dryrun_1(self):
         dryrun(1)
+
+
+def test_halo_deep_pipelining_matches_single_device(eight_devices):
+    """k local steps per width-3k exchange == k single-exchange steps."""
+    import numpy as np
+    from levelsetfortran_tpu.parallel.mesh import make_mesh
+    from levelsetfortran_tpu.parallel.sharded import ShardedLevelSet
+    from levelsetfortran_tpu.solvers.reinit import reinit_fixed
+
+    n = (32, 32, 32)
+    xs = [np.linspace(-1.2, 1.2, k) for k in n]
+    gx, gy, gz = np.meshgrid(*xs, indexing="ij")
+    phi0 = jnp.asarray(
+        (2.0 * (np.sqrt(gx**2 + gy**2 + gz**2) - 0.6)).astype(np.float32))
+    dx = 2.4 / 31
+    h = 0.1 * dx
+    ref = np.asarray(reinit_fixed(phi0, dx, h, 6, remat=False,
+                                  use_pallas=False))
+    mesh = make_mesh((2, 2, 2), eight_devices)
+    for k in (2, 3):
+        s = ShardedLevelSet(mesh, n, dx, steps_per_exchange=k)
+        out, it, _ = s.reinit(s.device_put(phi0), h, iters=6, tol=0.0)
+        assert int(it) == 6
+        np.testing.assert_allclose(np.asarray(jax.device_get(out)), ref,
+                                   atol=2e-6)
