@@ -23,10 +23,14 @@ from ..grid.grid import Grid3D
 def trilinear(field: jnp.ndarray, grid: Grid3D, points: jnp.ndarray
               ) -> jnp.ndarray:
     """Trilinear sample of ``field`` (shape grid.shape or grid.shape + (C,))
-    at world-space ``points`` (..., 3).  Cell indices are clamped to the grid
-    so out-of-domain queries clamp-extrapolate.
+    at world-space ``points`` (..., 3).  Out-of-domain queries clamp to the
+    boundary value (NOT extrapolate): an unbounded fractional coordinate
+    would make sphere-trace steps grow geometrically once a ray leaves the
+    volume.
     """
     f = grid.world_to_index(points)                     # (..., 3) fractional
+    hi = jnp.asarray([s - 1 for s in grid.shape], dtype=points.dtype)
+    f = jnp.clip(f, 0.0, hi)
     i0 = jnp.floor(f).astype(jnp.int32)
     max_idx = jnp.asarray([s - 2 for s in grid.shape], dtype=jnp.int32)
     i0 = jnp.clip(i0, 0, max_idx)

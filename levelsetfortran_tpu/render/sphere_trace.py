@@ -69,8 +69,12 @@ def _trace_bwd(grid, n_steps, hit_tol, t_max, res, g):
         return trilinear(phi, grid, o + tt[..., None] * d)
 
     dphi_dt = jax.grad(lambda tt: jnp.sum(phi_at(tt, origins, dirs)))(t)
-    # guard: rays that never converged get zero gradient
-    safe = jnp.abs(dphi_dt) > 1e-6
+    # guards: the implicit-function VJP dt = -dphi/(dphi/dt) is only valid
+    # where the march actually CONVERGED to phi = 0; a truncated (miss /
+    # out-of-budget) ray's depth is an artifact of the step count and gets
+    # zero gradient.  Also guard the grazing case dphi/dt -> 0.
+    converged = jnp.abs(phi_at(t, origins, dirs)) < 10.0 * hit_tol
+    safe = converged & (jnp.abs(dphi_dt) > 1e-6)
     inv = jnp.where(safe, -1.0 / jnp.where(safe, dphi_dt, 1.0), 0.0)
     lam = g * inv                       # adjoint of the implicit equation
 
@@ -96,8 +100,12 @@ def surface_normal(phi, grid: Grid3D, points, eps=None):
         comps.append((trilinear(phi, grid, points + off)
                       - trilinear(phi, grid, points - off)) / (2 * eps))
     n = jnp.stack(comps, axis=-1)
-    mag = jnp.linalg.norm(n, axis=-1, keepdims=True)
-    return n / jnp.maximum(mag, 1e-12)
+    # double-where: rays that missed sample a clamped (constant) field, so
+    # n == 0 exactly; norm's derivative at 0 is NaN and would poison the
+    # backward pass through the masked-out branch (0 * NaN = NaN).
+    mag2 = jnp.sum(n * n, axis=-1, keepdims=True)
+    safe = mag2 > 1e-24
+    return jnp.where(safe, n / jnp.sqrt(jnp.where(safe, mag2, 1.0)), 0.0)
 
 
 def camera_rays(height: int, width: int, *, eye, target, up=(0.0, 0.0, 1.0),
