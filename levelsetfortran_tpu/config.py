@@ -94,6 +94,11 @@ class LevelSetConfig:
     mesh_shape: Optional[Tuple[int, ...]] = None   # e.g. (2, 2, 2) over (x, y, z)
     mesh_axis_names: Tuple[str, ...] = ("x", "y", "z")
     halo_width: int = 4                 # WENO5 needs 3, order-8 derivs need 4
+    steps_per_exchange: int = 1         # halo-deep pipelining depth (k)
+
+    # --- checkpoint/resume (absent in reference; SURVEY.md §5) ---
+    checkpoint_dir: Optional[str] = None
+    checkpoint_chunk: int = 500         # iterations between checkpoints
 
     quirks: QuirkConfig = dataclasses.field(default_factory=QuirkConfig)
 

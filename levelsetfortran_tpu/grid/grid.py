@@ -68,12 +68,17 @@ def from_bbox(
     hi: Tuple[float, float, float],
     dx: float,
     pad_cells: int,
+    multiple_of: Tuple[int, int, int] = (1, 1, 1),
 ) -> Grid3D:
     """Size a grid around a bounding box the way the reference does.
 
     ``set3d.f90:143-157``: ``n = ceil(extent/dx) + 1`` interior points, plus
     ``pad_cells`` cells added on *each* side; origin shifts down by
     ``pad_cells*dx``.
+
+    ``multiple_of`` rounds each axis's point count UP to a multiple (extra
+    far-field cells on the high side) so the grid block-shards evenly over a
+    device mesh.
     """
     shape = []
     origin = []
@@ -82,15 +87,17 @@ def from_bbox(
         shape.append(n + 2 * pad_cells)      # nx = n + 2*dd, points = nx+1 ...
         origin.append(lo[a] - pad_cells * dx)
     # Reference allocates phi(0:nx,...) => nx+1 points where nx = n + 2*dd.
-    shape = tuple(s + 1 for s in shape)
+    shape = tuple(-(-(s + 1) // m) * m
+                  for s, m in zip(shape, multiple_of))
     return Grid3D(shape=shape, origin=tuple(origin), dx=dx)
 
 
-def from_surface(vertices: np.ndarray, dx: float, pad_cells: int) -> Grid3D:
+def from_surface(vertices: np.ndarray, dx: float, pad_cells: int,
+                 multiple_of: Tuple[int, int, int] = (1, 1, 1)) -> Grid3D:
     """Grid around a surface mesh's bbox (reference ``set3d.f90:103-157``)."""
     lo = tuple(float(v) for v in np.min(vertices, axis=0))
     hi = tuple(float(v) for v in np.max(vertices, axis=0))
-    return from_bbox(lo, hi, dx, pad_cells)
+    return from_bbox(lo, hi, dx, pad_cells, multiple_of)
 
 
 def surface_diag(vertices: np.ndarray) -> float:

@@ -35,6 +35,16 @@ def build_parser() -> argparse.ArgumentParser:
                    default="float32")
     p.add_argument("--out-dir", default=None)
     p.add_argument("--no-outputs", action="store_true")
+    p.add_argument("--mesh-shape", default=None,
+                   help="device mesh for 3D domain decomposition, e.g. "
+                        "'2,2,2' (default: single device)")
+    p.add_argument("--steps-per-exchange", type=int, default=1,
+                   help="halo-deep pipelining depth k: k reinit steps per "
+                        "width-3k halo exchange")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="enable orbax checkpoint/resume for the solver "
+                        "stages (single-device path)")
+    p.add_argument("--checkpoint-chunk", type=int, default=500)
     return p
 
 
@@ -47,12 +57,17 @@ def main(argv=None) -> int:
     if dtype == jnp.float64:
         import jax
         jax.config.update("jax_enable_x64", True)
+    mesh_shape = (tuple(int(x) for x in args.mesh_shape.split(","))
+                  if args.mesh_shape else None)
     cfg = LevelSetConfig(
         dx=args.dx, pad_cells=args.pad_cells,
         reinit_iters=args.reinit_iters, reinit_cfl=args.reinit_cfl,
         minmax_iters=args.minmax_iters, minmax_cfl=args.minmax_cfl,
         advect_iters=args.advect_iters,
-        final_reinit_iters=args.final_reinit_iters, dtype=dtype)
+        final_reinit_iters=args.final_reinit_iters, dtype=dtype,
+        mesh_shape=mesh_shape, steps_per_exchange=args.steps_per_exchange,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_chunk=args.checkpoint_chunk)
     result = run(args.mesh, cfg, out_dir=args.out_dir,
                  write_outputs=not args.no_outputs)
     print(f"grid={result.grid.shape} reinit_iters={result.reinit_iters} "

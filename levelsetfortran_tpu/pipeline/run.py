@@ -70,10 +70,13 @@ def run_mesh(mesh: SurfaceMesh, config: LevelSetConfig, *,
     dtype = cfg.dtype
 
     # --- grid setup (set3d.f90:89-173) ---
-    grid = gridmod.from_surface(mesh.vertices, cfg.dx, cfg.pad_cells)
+    multiple_of = tuple(cfg.mesh_shape) if cfg.mesh_shape else (1, 1, 1)
+    grid = gridmod.from_surface(mesh.vertices, cfg.dx, cfg.pad_cells,
+                                multiple_of)
     diag = gridmod.surface_diag(mesh.vertices)
     dxx = cfg.dx / diag                     # normalized step (set3d.f90:301)
-    log_event("grid", shape=list(grid.shape), dx=cfg.dx)
+    log_event("grid", shape=list(grid.shape), dx=cfg.dx,
+              mesh=list(cfg.mesh_shape) if cfg.mesh_shape else None)
 
     # --- inside/outside classification (set3d.f90:196-268) ---
     if cfg.init_mode == "distance":
@@ -88,22 +91,108 @@ def run_mesh(mesh: SurfaceMesh, config: LevelSetConfig, *,
     timer.mark("search")                    # set3d.f90:271-273
 
     # --- initial reinitialization (set3d.f90:298-308) ---
-    r = reinit(phi0, cfg.dx, cfg.reinit_cfl * dxx, cfg.reinit_iters,
-               cfg.reinit_tol, eps_scale=cfg.weno_eps_scale,
-               eps_floor=cfg.eps_floor,
-               quirk_y_p5_zero=cfg.quirks.weno_y_p5_zero)
-    phi_init = r.phi
-    phi_init.block_until_ready()
-    timer.mark("initialization")            # set3d.f90:314-316
+    # Three execution strategies for the two grid-solver stages:
+    # sharded (multi-chip domain decomposition), checkpointed (chunked with
+    # orbax resume), or plain fused single-chip while_loops.
+    if cfg.mesh_shape:
+        from ..parallel.mesh import make_mesh
+        from ..parallel.sharded import ShardedLevelSet
+        smesh = make_mesh(tuple(cfg.mesh_shape))
+        solver = ShardedLevelSet(
+            smesh, grid.shape, cfg.dx, eps_scale=cfg.weno_eps_scale,
+            eps_floor=cfg.eps_floor,
+            quirk_y_p5_zero=cfg.quirks.weno_y_p5_zero,
+            steps_per_exchange=cfg.steps_per_exchange)
+        phi_s = solver.device_put(phi0)
+        phi_s, r_it_a, r_rms_a = solver.reinit(
+            phi_s, cfg.reinit_cfl * dxx, cfg.reinit_iters, cfg.reinit_tol)
+        phi_init = phi_s
+        phi_init.block_until_ready()
+        timer.mark("initialization")        # set3d.f90:314-316
 
-    # --- min/max smoothing (set3d.f90:394-462) ---
-    m = minmax_flow(phi_init, cfg.dx, cfg.minmax_cfl * dxx, cfg.minmax_iters,
-                    cfg.minmax_tol, band_radius=cfg.band_radius,
-                    threshold=cfg.minmax_threshold,
-                    avg_halfwidth=cfg.minmax_avg_halfwidth)
-    phi_smoothed = m.phi
-    phi_smoothed.block_until_ready()
-    timer.mark("minmax")
+        phi_s, m_it_a, m_rms_a = solver.minmax_flow(
+            phi_init, cfg.minmax_cfl * dxx, cfg.minmax_iters,
+            cfg.minmax_tol, band_radius=cfg.band_radius,
+            threshold=cfg.minmax_threshold)
+        phi_smoothed = phi_s
+        phi_smoothed.block_until_ready()
+        timer.mark("minmax")
+        # surface stages are O(nodes), not O(grid): gather and run local
+        phi_init = jnp.asarray(jax.device_get(phi_init))
+        phi_smoothed = jnp.asarray(jax.device_get(phi_smoothed))
+
+        class _R:
+            phi = phi_init
+            iterations = r_it_a
+            final_rms = r_rms_a
+            diverged = jnp.isnan(r_rms_a)
+
+        class _M:
+            phi = phi_smoothed
+            iterations = m_it_a
+            final_rms = m_rms_a
+            diverged = jnp.isnan(m_rms_a)
+
+        r, m = _R(), _M()
+    elif cfg.checkpoint_dir:
+        from ..solvers.checkpointed import (minmax_resumable,
+                                            reinit_resumable)
+        from ..utils.checkpoint import FieldCheckpointer
+        import os as _os
+        with FieldCheckpointer(
+                _os.path.join(cfg.checkpoint_dir, "reinit")) as ck:
+            rr = reinit_resumable(
+                phi0, cfg.dx, cfg.reinit_cfl * dxx, cfg.reinit_iters,
+                cfg.reinit_tol, ckpt=ck, chunk=cfg.checkpoint_chunk,
+                eps_scale=cfg.weno_eps_scale, eps_floor=cfg.eps_floor,
+                quirk_y_p5_zero=cfg.quirks.weno_y_p5_zero)
+        phi_init = rr.phi
+        phi_init.block_until_ready()
+        timer.mark("initialization")
+
+        with FieldCheckpointer(
+                _os.path.join(cfg.checkpoint_dir, "minmax")) as ck:
+            mm = minmax_resumable(
+                phi_init, cfg.dx, cfg.minmax_cfl * dxx, cfg.minmax_iters,
+                cfg.minmax_tol, ckpt=ck, chunk=cfg.checkpoint_chunk,
+                band_radius=cfg.band_radius,
+                threshold=cfg.minmax_threshold,
+                avg_halfwidth=cfg.minmax_avg_halfwidth)
+        phi_smoothed = mm.phi
+        phi_smoothed.block_until_ready()
+        timer.mark("minmax")
+
+        class _R:
+            phi = phi_init
+            iterations = jnp.int32(rr.iterations)
+            final_rms = jnp.asarray(rr.final_rms)
+            diverged = jnp.bool_(rr.diverged)
+
+        class _M:
+            phi = phi_smoothed
+            iterations = jnp.int32(mm.iterations)
+            final_rms = jnp.asarray(mm.final_rms)
+            diverged = jnp.bool_(mm.diverged)
+
+        r, m = _R(), _M()
+    else:
+        r = reinit(phi0, cfg.dx, cfg.reinit_cfl * dxx, cfg.reinit_iters,
+                   cfg.reinit_tol, eps_scale=cfg.weno_eps_scale,
+                   eps_floor=cfg.eps_floor,
+                   quirk_y_p5_zero=cfg.quirks.weno_y_p5_zero)
+        phi_init = r.phi
+        phi_init.block_until_ready()
+        timer.mark("initialization")        # set3d.f90:314-316
+
+        # --- min/max smoothing (set3d.f90:394-462) ---
+        m = minmax_flow(phi_init, cfg.dx, cfg.minmax_cfl * dxx,
+                        cfg.minmax_iters, cfg.minmax_tol,
+                        band_radius=cfg.band_radius,
+                        threshold=cfg.minmax_threshold,
+                        avg_halfwidth=cfg.minmax_avg_halfwidth)
+        phi_smoothed = m.phi
+        phi_smoothed.block_until_ready()
+        timer.mark("minmax")
 
     # --- node advection (set3d.f90:470-501) ---
     adv = advect_nodes(phi_smoothed, grid,

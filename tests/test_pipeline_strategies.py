@@ -1,0 +1,53 @@
+"""Pipeline execution strategies: sharded, checkpointed, plain — same
+converged results on the bundled reference fixture."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from levelsetfortran_tpu.config import LevelSetConfig
+from levelsetfortran_tpu.pipeline.run import run
+
+
+def _cfg(**kw):
+    # tol=0: force exact step counts so strategies are step-for-step
+    # comparable (with tol>0 the k-step sharded path checks RMS every k
+    # steps and may legitimately run up to k-1 extra steps)
+    base = dict(dx=0.1, pad_cells=6, reinit_iters=40, reinit_tol=0.0,
+                minmax_iters=10, minmax_tol=0.0,
+                advect_iters=10, final_reinit_iters=3,
+                dtype=jnp.float32)
+    base.update(kw)
+    return LevelSetConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def plain_result():
+    return run("/root/reference/twoCube10.stl", _cfg(), write_outputs=False)
+
+
+def test_sharded_strategy_matches_plain(plain_result, eight_devices):
+    res = run("/root/reference/twoCube10.stl",
+              _cfg(mesh_shape=(2, 2, 2), steps_per_exchange=2),
+              write_outputs=False)
+    # Same math, but two differently-compiled programs: XLA's fusion/FMA
+    # choices differ at the 1-ulp level, and near the interface the Godunov
+    # kinks amplify that to O(h) over tens of steps (h ~ 8e-4 here; ~50 of
+    # 77k cells reach ~6e-4, all adjacent to the zero level set).  This is
+    # the converged-level match of SURVEY.md §2 quirk 7, so the gate is
+    # h-scale, not ulp-scale; exact per-step equivalence of the sharded
+    # operators themselves is asserted in test_parallel.py.
+    a = res.phi_smoothed
+    b = plain_result.phi_smoothed
+    n = tuple(min(x, y) - 8 for x, y in zip(a.shape, b.shape))
+    np.testing.assert_allclose(a[:n[0], :n[1], :n[2]],
+                               b[:n[0], :n[1], :n[2]], atol=1.5e-3)
+
+
+def test_checkpointed_strategy_matches_plain(plain_result, tmp_path):
+    res = run("/root/reference/twoCube10.stl",
+              _cfg(checkpoint_dir=str(tmp_path), checkpoint_chunk=15),
+              write_outputs=False)
+    np.testing.assert_allclose(res.phi_smoothed,
+                               plain_result.phi_smoothed, atol=5e-5)
+    assert res.reinit_iters == plain_result.reinit_iters
