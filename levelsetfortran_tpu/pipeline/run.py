@@ -53,7 +53,13 @@ def run(stl_path: str, config: LevelSetConfig = LevelSetConfig(), *,
     (default: alongside the input), matching the reference's artifact set.
     """
     timer = StageTimer()
-    mesh = read_stl(stl_path)
+    if stl_path.lower().endswith(".s3d"):
+        # the reference's s3dRead is an unimplemented stub that STOPs
+        # (subs.f90:127-147); here it is a real input path
+        from ..io.s3d import read_s3d
+        mesh = read_s3d(stl_path)
+    else:
+        mesh = read_stl(stl_path)
     return run_mesh(mesh, config, timer=timer,
                     out_dir=out_dir or os.path.dirname(stl_path) or ".",
                     base=os.path.splitext(os.path.basename(stl_path))[0],

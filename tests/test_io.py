@@ -122,3 +122,32 @@ class TestS3d:
         header = open(p).readline().split()
         assert [int(v) for v in header] == [
             mesh.n_elems, mesh.n_nodes, 0, 1]
+
+
+def test_pipeline_accepts_s3d_input(tmp_path):
+    """The reference's s3dRead is a stub that STOPs (subs.f90:127-147);
+    here .s3d round-trips back into the pipeline as a real input."""
+    import jax.numpy as jnp
+
+    from levelsetfortran_tpu.config import LevelSetConfig
+    from levelsetfortran_tpu.io.s3d import read_s3d, write_s3d
+    from levelsetfortran_tpu.io.stl import read_stl
+    from levelsetfortran_tpu.pipeline.run import run
+
+    mesh = read_stl("/root/reference/twoCube10.stl")
+    path = str(tmp_path / "roundtrip.s3d")
+    write_s3d(path, mesh, mesh.vertices)
+    mesh2 = read_s3d(path)
+    assert mesh2.n_nodes == mesh.n_nodes
+    cfg = LevelSetConfig(dx=0.2, pad_cells=4, reinit_iters=5,
+                         minmax_iters=0, advect_iters=1,
+                         final_reinit_iters=0, dtype=jnp.float32)
+    res = run(path, cfg, write_outputs=False)
+    assert res.phi_init.shape == res.grid.shape
+
+
+def test_init_distributed_single_process():
+    from levelsetfortran_tpu.parallel.distributed import (init_distributed,
+                                                          is_primary)
+    assert init_distributed() is False      # no coordinator: single-process
+    assert is_primary()
