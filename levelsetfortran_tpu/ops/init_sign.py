@@ -139,6 +139,68 @@ def nearest_triangle(points, tri, tile: int = 128):
     return best_d, best_i
 
 
+def pseudonormal_sign(points, tri, best_d2, tile: int = 128,
+                      rel_tie: float = 1e-3):
+    """Robust inside/outside sign via the angle-weighted pseudonormal
+    (Baerentzen & Aanaes 2005).
+
+    The single-nearest-triangle plane test (reference set3d.f90:253-258)
+    degenerates for points in the *shadow* of an edge or vertex: the closest
+    feature is shared by several triangles and the plane test of any one of
+    them can be exactly zero (e.g. grid points coplanar with a cube face's
+    extension).  The correct sign is sign(dot(p - cp, sum_i w_i n_i)) over
+    all triangles tied for the minimum distance, with w_i the incident angle
+    at the closest feature (faces: single term; edges: the two faces,
+    equal weights; vertices: angle-weighted fan).
+
+    Second tiled scan over triangles, accumulating the weighted projection
+    for every triangle within ``rel_tie`` of the minimum distance.
+    """
+    E = tri.shape[0]
+    n_tiles = max(1, math.ceil(E / tile))
+    pad = n_tiles * tile - E
+    far = jnp.full((pad, 3, 3), 1e30, dtype=tri.dtype)
+    tri_p = jnp.concatenate([tri, far], axis=0).reshape(n_tiles, tile, 3, 3)
+    # tie threshold: relative + absolute floor (squared-distance units)
+    thresh = best_d2 * (1.0 + rel_tie) + 1e-12
+
+    def angle_at(u, v):
+        cr = jnp.cross(u, v)
+        return jnp.arctan2(jnp.sqrt(jnp.maximum(_dot(cr, cr), 1e-30)),
+                           _dot(u, v))
+
+    def body(acc, t_block):
+        a = t_block[None, :, 0, :]
+        b = t_block[None, :, 1, :]
+        c = t_block[None, :, 2, :]
+        p = points[:, None, :]
+        cp = point_triangle_closest(p, a, b, c)        # (P, T, 3)
+        u = p - cp
+        d2 = _dot(u, u)
+        tie = d2 <= thresh[:, None]
+
+        n = jnp.cross(b - a, c - a)
+        n = n / jnp.sqrt(jnp.maximum(_dot(n, n), 1e-30))[..., None]
+
+        # incident-angle weight by closest feature: vertex -> vertex angle,
+        # edge/interior -> pi (edges get equal weights; the interior case
+        # has a single tied triangle so any constant works)
+        at_a = _dot(cp - a, cp - a) < 1e-12
+        at_b = _dot(cp - b, cp - b) < 1e-12
+        at_c = _dot(cp - c, cp - c) < 1e-12
+        w = jnp.full(d2.shape, jnp.pi, dtype=points.dtype)
+        w = jnp.where(at_a, angle_at(b - a, c - a), w)
+        w = jnp.where(at_b, angle_at(a - b, c - b), w)
+        w = jnp.where(at_c, angle_at(a - c, b - c), w)
+
+        contrib = jnp.where(tie, w * _dot(u, n), 0.0)
+        return acc + jnp.sum(contrib, axis=1), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros(points.shape[0], points.dtype),
+                          tri_p)
+    return acc
+
+
 def nearest_centroid(points: jnp.ndarray, centroids: jnp.ndarray,
                      tile: int = 512) -> jnp.ndarray:
     """Index of the nearest centroid per point (reference set3d.f90:222-236).
@@ -205,8 +267,12 @@ def signed_distance_init(grid: Grid3D, vertices, elements, *,
     vertices = jnp.asarray(vertices, dtype=dtype)
     tri = vertices[elements]                    # (E, 3, 3)
     points = _grid_points(grid, dtype)
-    d2, idx = nearest_triangle(points, tri, tile=tile)
-    ps = orientation_sign(points, tri[idx])
+    d2, _ = nearest_triangle(points, tri, tile=tile)
+    # sign: angle-weighted pseudonormal over distance-tied triangles (the
+    # single-nearest plane test is degenerate in edge/vertex shadows); the
+    # sign is piecewise-constant, so gradients flow through the distance
+    ps = pseudonormal_sign(points, jax.lax.stop_gradient(tri),
+                           jax.lax.stop_gradient(d2), tile=tile)
     sgn = jnp.where(ps < 0, -1.0, 1.0).astype(dtype)
     dist = jnp.sqrt(jnp.maximum(d2, 1e-30))
     return (sgn * dist).reshape(grid.shape)

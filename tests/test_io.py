@@ -151,3 +151,42 @@ def test_init_distributed_single_process():
                                                           is_primary)
     assert init_distributed() is False      # no coordinator: single-process
     assert is_primary()
+
+
+def test_procedural_meshes_match_analytic_sdf():
+    """Procedural generators: pipeline SDF vs analytic distance."""
+    import jax.numpy as jnp
+
+    from levelsetfortran_tpu.config import LevelSetConfig
+    from levelsetfortran_tpu.models.analytic import sdf_box, sdf_sphere
+    from levelsetfortran_tpu.models.procedural import box_mesh, icosphere_mesh
+    from levelsetfortran_tpu.pipeline.run import run_mesh
+
+    # reinit_iters=0: validate the generators + exact-distance init alone
+    # (reinit's WENO steady state deviates O(dx) from exact distance at the
+    # box's gradient kinks — a discretization property, tested elsewhere)
+    cfg = LevelSetConfig(dx=0.1, pad_cells=4, reinit_iters=0,
+                         minmax_iters=0, advect_iters=1,
+                         final_reinit_iters=0, dtype=jnp.float32)
+
+    # tolerances: box is exact; icosphere is a polyhedral approximation
+    # (chord sagitta at subdivision 3 ~ 2e-3)
+    for mesh, sdf, tol in [
+        (box_mesh(half_extent=(0.5, 0.5, 0.5), subdivisions=2),
+         lambda p: sdf_box(p, (0.0, 0.0, 0.0), (0.5, 0.5, 0.5)), 1e-5),
+        (icosphere_mesh(radius=0.6, subdivisions=3),
+         lambda p: sdf_sphere(p, (0.0, 0.0, 0.0), 0.6), 5e-3),
+    ]:
+        res = run_mesh(mesh, cfg)
+        grid = res.grid
+        import numpy as _np
+        xs = [grid.origin[a] + grid.dx * _np.arange(grid.shape[a])
+              for a in range(3)]
+        gx, gy, gz = _np.meshgrid(*xs, indexing="ij")
+        pts = jnp.asarray(_np.stack([gx, gy, gz], -1).reshape(-1, 3),
+                          jnp.float32)
+        truth = _np.asarray(sdf(pts)).reshape(grid.shape)
+        err = _np.abs(res.phi_init - truth)
+        assert err.max() < tol, err.max()
+        assert (_np.sign(res.phi_init) == _np.sign(truth))[
+            _np.abs(truth) > 1e-3].all()
