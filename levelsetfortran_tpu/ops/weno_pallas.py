@@ -189,7 +189,7 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
     ex, ey = tx + 2, ty + 2       # extended (+1 BC ring) region
     wx, wy = tx + 2 * XA, ty + 2 * YA
 
-    def kernel(dx_ref, h_ref, phi_hbm, sign_hbm, out_hbm,
+    def kernel(dx_ref, h_ref, ox_ref, oy_ref, phi_hbm, sign_hbm, out_hbm,
                pslab, sslab, oslab, in_sems, out_sems):
         bi = pl.program_id(0)
         bj = pl.program_id(1)
@@ -253,10 +253,12 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
         sgn_src = sslab[slot, :, YA - 1:YA - 1 + ey, :]
 
         # global true-grid coordinates of the extended region's cells, kept
-        # minimal-rank (broadcast late: comparisons stay 1D until combined)
-        gx = (bi * tx - 1
+        # minimal-rank (broadcast late: comparisons stay 1D until combined).
+        # ox/oy carry this block's global origin (0 single-device; the
+        # shard's offset under domain decomposition).
+        gx = (ox_ref[0, 0] + bi * tx - 1
               + jax.lax.broadcasted_iota(jnp.int32, (ex, 1, 1), 0))
-        gy = (bj * ty - 1
+        gy = (oy_ref[0, 0] + bj * ty - 1
               + jax.lax.broadcasted_iota(jnp.int32, (1, ey, 1), 1))
         gz = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nzp), 2)
 
@@ -377,12 +379,22 @@ def crop_from_pallas(phi_pad, gshape):
     "interpret", "precise"))
 def _pallas_step_padded(phi_pad, sign_pad, dx, h, *, gshape, eps_scale,
                         eps_floor, quirk_y_p5_zero, tile, interpret,
-                        precise=True):
-    """One step on padded-layout arrays; output aprons are undefined."""
+                        precise=True, offsets=None):
+    """One step on padded-layout arrays; output aprons are undefined.
+
+    ``gshape`` is the TRUE GLOBAL grid shape (mask bounds).  ``offsets``
+    (ox, oy) is this block's global origin — (0, 0) single-device; the
+    shard offset when the padded array is one halo-exchanged block of a
+    domain-decomposed grid (parallel/sharded.py).
+    """
     nx, ny, nz = gshape
     tx, ty = tile
-    nxp, nyp = _ceil_to(nx, tx), _ceil_to(ny, ty)
+    # the compute extent comes from the local padded array, not gshape
+    nxp = phi_pad.shape[0] - 2 * XA
+    nyp = phi_pad.shape[1] - 2 * YA
     nzp = phi_pad.shape[2]
+    if offsets is None:
+        offsets = (jnp.int32(0), jnp.int32(0))
     ratio_floor = 1e-70 if phi_pad.dtype == jnp.float64 else 1e-7
     kernel, (wx, wy), ex = _make_kernel(
         gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
@@ -396,6 +408,8 @@ def _pallas_step_padded(phi_pad, sign_pad, dx, h, *, gshape, eps_scale,
     # Mosaic's scheduler keeps ~60 ext-sized temporaries live at peak for
     # this kernel; budget for them, capped at the hardware scoped-vmem max.
     vmem_limit = min(100 * 1024 * 1024, int(slab_bytes + 70 * ext_bytes))
+    int_scalar = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                              memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(phi_pad.shape, phi_pad.dtype),
@@ -403,6 +417,8 @@ def _pallas_step_padded(phi_pad, sign_pad, dx, h, *, gshape, eps_scale,
         in_specs=[
             scalar_spec,
             scalar_spec,
+            int_scalar,
+            int_scalar,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -419,7 +435,10 @@ def _pallas_step_padded(phi_pad, sign_pad, dx, h, *, gshape, eps_scale,
             vmem_limit_bytes=vmem_limit,
         ),
         interpret=interpret,
-    )(jnp.reshape(dx, (1, 1)), jnp.reshape(h, (1, 1)), phi_pad, sign_pad)
+    )(jnp.reshape(dx, (1, 1)), jnp.reshape(h, (1, 1)),
+      jnp.reshape(jnp.asarray(offsets[0], jnp.int32), (1, 1)),
+      jnp.reshape(jnp.asarray(offsets[1], jnp.int32), (1, 1)),
+      phi_pad, sign_pad)
 
 
 # ------------------------------ public API ------------------------------

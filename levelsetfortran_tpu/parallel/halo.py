@@ -50,16 +50,21 @@ def halo_exchange_axis(x: jnp.ndarray, width: int, axis: int,
     return jnp.concatenate([from_left, x, from_right], axis=axis)
 
 
-def halo_exchange(x: jnp.ndarray, width: int,
+def halo_exchange(x: jnp.ndarray, width,
                   mesh_shape: Sequence[int],
                   axis_names: Sequence[str] = AXIS_NAMES) -> jnp.ndarray:
-    """Pad a local block with ``width`` halos along all three axes.
+    """Pad a local block with halos along all three axes.
 
-    Must be called inside ``shard_map`` with the named axes live.  The
-    sequential per-axis exchange fills corner/edge halos correctly.
+    ``width`` may be a single int or a per-axis tuple (0 skips an axis —
+    used when that axis is unsharded and handled in-kernel).  Must be
+    called inside ``shard_map`` with the named axes live.  The sequential
+    per-axis exchange fills corner/edge halos correctly.
     """
-    for axis, (name, n) in enumerate(zip(axis_names, mesh_shape)):
-        x = halo_exchange_axis(x, width, axis, name, n)
+    widths = ((width,) * 3 if isinstance(width, int) else tuple(width))
+    for axis, (name, n, w) in enumerate(zip(axis_names, mesh_shape,
+                                            widths)):
+        if w:
+            x = halo_exchange_axis(x, w, axis, name, n)
     return x
 
 

@@ -138,6 +138,37 @@ def reinit_k_steps_local(phi_l, sign_l, dx, h, k, *, gshape, mesh_shape,
     return crop(pad, w)
 
 
+def reinit_step_local_pallas(phi_l, sign_l, dx, h, *, gshape, mesh_shape,
+                             tile, eps_scale=1e-6, eps_floor=None,
+                             quirk_y_p5_zero=False, precise=False,
+                             interpret=False):
+    """One Jacobi reinit step where the local block's compute is the fused
+    Pallas kernel (ops/weno_pallas.py).
+
+    Requires a 2D (x, y) decomposition — z stays whole per shard so the
+    kernel's lane-roll z-stencils remain in-block.  Carried blocks are
+    z-padded to the lane multiple (crop with ``[..., :nz]``).  The
+    halo-exchanged block IS the kernel's padded layout: x apron XA, y apron
+    YA, plus the shard's global origin fed to the kernel's masks.
+    """
+    from ..ops import weno_pallas as wp
+    if eps_floor is None:
+        from ..ops.weno import default_eps_floor
+        eps_floor = default_eps_floor(phi_l.dtype)
+    b = phi_l.shape                      # (bx, by, nzp)
+    bx, by = b[0], b[1]
+    ox = jax.lax.axis_index(AXIS_NAMES[0]) * bx
+    oy = jax.lax.axis_index(AXIS_NAMES[1]) * by
+    widths = (wp.XA, wp.YA, 0)
+    pad = halo_exchange(phi_l, widths, mesh_shape)
+    spad = halo_exchange(sign_l, widths, mesh_shape)
+    out_pad = wp._pallas_step_padded(
+        pad, spad, dx, h, gshape=gshape, eps_scale=eps_scale,
+        eps_floor=eps_floor, quirk_y_p5_zero=quirk_y_p5_zero, tile=tile,
+        interpret=interpret, precise=precise, offsets=(ox, oy))
+    return out_pad[wp.XA:wp.XA + bx, wp.YA:wp.YA + by, :]
+
+
 def minmax_step_local(phi_l, dx, h1, *, gshape, mesh_shape,
                       band_radius=4.1, threshold=0.0, avg_halfwidth=1):
     """One Jacobi min/max smoothing step on a local block."""
@@ -174,13 +205,15 @@ class ShardedLevelSet:
 
     def __init__(self, mesh, gshape: Tuple[int, int, int], dx: float, *,
                  eps_scale=1e-6, eps_floor=None, quirk_y_p5_zero=False,
-                 steps_per_exchange: int = 1):
+                 steps_per_exchange: int = 1, use_pallas="auto",
+                 pallas_interpret=None):
         self.mesh = mesh
         self.mesh_shape = tuple(mesh.devices.shape)
         self.gshape = tuple(gshape)
         self.k = int(steps_per_exchange)
         if self.k < 1:
             raise ValueError("steps_per_exchange must be >= 1")
+        self._setup_pallas(use_pallas, pallas_interpret, eps_floor)
         halo_need = max(HALO, 3 * self.k)
         for g, m in zip(self.gshape, self.mesh_shape):
             if g % m:
@@ -200,17 +233,22 @@ class ShardedLevelSet:
         spec = P(*AXIS_NAMES)
 
         k = self.k
+        nz = self.gshape[2]
 
         def _reinit(phi, sign_src, h, iters, tol):
             def body(state):
                 p, _, n, _, _ = state
-                if k == 1:
+                if self.use_pallas:
+                    new = reinit_step_local_pallas(
+                        p, sign_src, dx, h, tile=self._ptile,
+                        interpret=self._pinterp, **self._step_kw)
+                elif k == 1:
                     new = reinit_step_local(p, sign_src, dx, h,
                                             **self._step_kw)
                 else:
                     new = reinit_k_steps_local(p, sign_src, dx, h, k,
                                                **self._step_kw)
-                rms = _global_rms(new, p, self.gshape)
+                rms = _global_rms(new[..., :nz], p[..., :nz], self.gshape)
                 done = (rms < tol) | jnp.isnan(rms)
                 return (new, p, n + k, rms, done)
 
@@ -258,8 +296,44 @@ class ShardedLevelSet:
             mesh=mesh, in_specs=(spec, spec, P()), out_specs=spec,
             check_vma=False))
 
+    def _setup_pallas(self, use_pallas, pallas_interpret, eps_floor):
+        """Resolve whether local block steps run the fused Pallas kernel.
+
+        Requirements: 2D (x, y) decomposition (z whole per shard), k == 1,
+        and block sizes divisible by the kernel tile.  ``auto`` enables it
+        on real TPU; explicit True uses interpret mode off-TPU (tests)."""
+        self.use_pallas = False
+        self._ptile = None
+        self._pinterp = False
+        self.nzp = self.gshape[2]
+        want = (jax.default_backend() == "tpu" if use_pallas == "auto"
+                else bool(use_pallas))
+        if not want or self.k != 1 or self.mesh_shape[2] != 1:
+            return
+        from ..ops import weno_pallas as wp
+        if min(self.gshape) < 8:
+            return
+        bx = self.gshape[0] // self.mesh_shape[0]
+        by = self.gshape[1] // self.mesh_shape[1]
+        nzp = -(-self.gshape[2] // wp.ZALIGN) * wp.ZALIGN
+        tx, ty = wp._pick_tile((bx, by, nzp))
+        if bx % tx or by % ty:
+            return
+        self.use_pallas = True
+        self._ptile = (tx, ty)
+        self.nzp = nzp
+        self._pinterp = (jax.default_backend() != "tpu"
+                         if pallas_interpret is None else
+                         bool(pallas_interpret))
+
     def device_put(self, phi):
-        return jax.device_put(jnp.asarray(phi), self.sharding)
+        phi = jnp.asarray(phi)
+        if self.use_pallas and self.nzp != phi.shape[2]:
+            # carried blocks are z-padded to the kernel's lane multiple;
+            # results are cropped back by the public solvers
+            phi = jnp.pad(phi, ((0, 0), (0, 0),
+                                (0, self.nzp - phi.shape[2])), mode="edge")
+        return jax.device_put(phi, self.sharding)
 
     def reinit_step(self, phi, sign_src, h):
         return self._step(phi, sign_src, jnp.asarray(h, phi.dtype))
@@ -267,8 +341,11 @@ class ShardedLevelSet:
     def reinit(self, phi, h, iters: int, tol: float, sign_src=None):
         sign_src = phi if sign_src is None else sign_src
         dt = phi.dtype
-        return self._reinit(phi, sign_src, jnp.asarray(h, dt),
-                            jnp.int32(iters), jnp.asarray(tol, dt))
+        p, n, rms = self._reinit(phi, sign_src, jnp.asarray(h, dt),
+                                 jnp.int32(iters), jnp.asarray(tol, dt))
+        if self.use_pallas and p.shape[2] != self.gshape[2]:
+            p = p[..., :self.gshape[2]]
+        return p, n, rms
 
     def minmax_flow(self, phi, h1, iters: int, tol: float, *,
                     band_radius=4.1, threshold=0.0):
@@ -312,6 +389,20 @@ def dryrun(n_devices: int) -> None:
                                    tol=0.0)
     phi2.block_until_ready()
     assert np.isfinite(float(rms3))
+
+    # fused-Pallas local blocks over a 2D (x, y) decomposition
+    mesh2d_shape = (n_devices, 1, 1) if n_devices <= 4 else         (n_devices // 2, 2, 1)
+    mesh2d = make_mesh(mesh2d_shape, devs)
+    g2 = (max(16, 8 * mesh2d_shape[0]), max(16, 8 * mesh2d_shape[1]), 16)
+    xs2 = [jnp.linspace(-1.0, 1.0, g) for g in g2]
+    ax, ay, az = jnp.meshgrid(*xs2, indexing="ij")
+    p2 = (2.0 * (jnp.sqrt(ax**2 + ay**2 + az**2) - 0.5)).astype(jnp.float32)
+    solver3 = ShardedLevelSet(mesh2d, g2, dx, use_pallas=True)
+    if solver3.use_pallas:
+        phi3, _, rms4 = solver3.reinit(solver3.device_put(p2), h, iters=2,
+                                       tol=0.0)
+        phi3.block_until_ready()
+        assert np.isfinite(float(rms4))
 
     # gradient flows through the sharded step (vertex-grad all-reduce path)
     def loss(p):

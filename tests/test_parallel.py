@@ -101,3 +101,30 @@ def test_halo_deep_pipelining_matches_single_device(eight_devices):
         assert int(it) == 6
         np.testing.assert_allclose(np.asarray(jax.device_get(out)), ref,
                                    atol=2e-6)
+
+
+def test_sharded_pallas_blocks_match_single_device(eight_devices):
+    """Local block steps run the fused Pallas kernel (interpret mode on
+    CPU) over a 2D (x, y) decomposition; owned cells match the jnp
+    single-device solver."""
+    import numpy as np
+    from levelsetfortran_tpu.parallel.mesh import make_mesh
+    from levelsetfortran_tpu.parallel.sharded import ShardedLevelSet
+    from levelsetfortran_tpu.solvers.reinit import reinit_fixed
+
+    n = (32, 32, 16)
+    xs = [np.linspace(-1.2, 1.2, k) for k in n]
+    gx, gy, gz = np.meshgrid(*xs, indexing="ij")
+    phi0 = jnp.asarray(
+        (2.0 * (np.sqrt(gx**2 + gy**2 + gz**2) - 0.6)).astype(np.float32))
+    dx = 2.4 / 31
+    h = 0.1 * dx
+    ref = np.asarray(reinit_fixed(phi0, dx, h, 4, remat=False,
+                                  use_pallas=False))
+    mesh = make_mesh((4, 2, 1), eight_devices)
+    s = ShardedLevelSet(mesh, n, dx, use_pallas=True)
+    assert s.use_pallas, "pallas mode should be applicable here"
+    out, it, _ = s.reinit(s.device_put(phi0), h, iters=4, tol=0.0)
+    assert int(it) == 4
+    np.testing.assert_allclose(np.asarray(jax.device_get(out)), ref,
+                               atol=2e-6)
