@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import typing
 from typing import Optional
 
 import jax
@@ -27,6 +28,15 @@ from ..solvers.advect import advect_nodes
 from ..solvers.minmax_flow import minmax_flow
 from ..solvers.reinit import reinit
 from ..utils.logging import StageTimer, log_event
+
+
+class _StageResult(typing.NamedTuple):
+    """Uniform (phi, iterations, final_rms, diverged) view of a solver
+    stage, whichever execution strategy produced it."""
+    phi: object
+    iterations: object
+    final_rms: object
+    diverged: object
 
 
 @dataclasses.dataclass
@@ -126,20 +136,8 @@ def run_mesh(mesh: SurfaceMesh, config: LevelSetConfig, *,
         # surface stages are O(nodes), not O(grid): gather and run local
         phi_init = jnp.asarray(jax.device_get(phi_init))
         phi_smoothed = jnp.asarray(jax.device_get(phi_smoothed))
-
-        class _R:
-            phi = phi_init
-            iterations = r_it_a
-            final_rms = r_rms_a
-            diverged = jnp.isnan(r_rms_a)
-
-        class _M:
-            phi = phi_smoothed
-            iterations = m_it_a
-            final_rms = m_rms_a
-            diverged = jnp.isnan(m_rms_a)
-
-        r, m = _R(), _M()
+        r = _StageResult(phi_init, r_it_a, r_rms_a, jnp.isnan(r_rms_a))
+        m = _StageResult(phi_smoothed, m_it_a, m_rms_a, jnp.isnan(m_rms_a))
     elif cfg.checkpoint_dir:
         from ..solvers.checkpointed import (minmax_resumable,
                                             reinit_resumable)
@@ -168,19 +166,10 @@ def run_mesh(mesh: SurfaceMesh, config: LevelSetConfig, *,
         phi_smoothed.block_until_ready()
         timer.mark("minmax")
 
-        class _R:
-            phi = phi_init
-            iterations = jnp.int32(rr.iterations)
-            final_rms = jnp.asarray(rr.final_rms)
-            diverged = jnp.bool_(rr.diverged)
-
-        class _M:
-            phi = phi_smoothed
-            iterations = jnp.int32(mm.iterations)
-            final_rms = jnp.asarray(mm.final_rms)
-            diverged = jnp.bool_(mm.diverged)
-
-        r, m = _R(), _M()
+        r = _StageResult(phi_init, jnp.int32(rr.iterations),
+                         jnp.asarray(rr.final_rms), jnp.bool_(rr.diverged))
+        m = _StageResult(phi_smoothed, jnp.int32(mm.iterations),
+                         jnp.asarray(mm.final_rms), jnp.bool_(mm.diverged))
     else:
         r = reinit(phi0, cfg.dx, cfg.reinit_cfl * dxx, cfg.reinit_iters,
                    cfg.reinit_tol, eps_scale=cfg.weno_eps_scale,
