@@ -179,14 +179,20 @@ def _godunov_axis(d_m, d_p, pos):
 
 
 def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
-                 ratio_floor, precise=True):
+                 ratio_floor, precise=True, ring=True):
     """Padded-in / padded-out kernel.  Both phi and out use the
     (nxp + 2*XA, nyp + 2*YA, nzp) layout; out aprons are left unwritten.
-    ``nzp`` is the lane-aligned z extent; masks use the TRUE ``gshape``."""
+    ``nzp`` is the lane-aligned z extent; masks use the TRUE ``gshape``.
+
+    ``ring=False`` computes on the bare tile (no +1 BC ring, ~22% less VPU
+    work): sound ONLY when no global face lands on the first row/col of a
+    tile (nx % tx != 1 and ny % ty != 1 — see _pick_tile), so every BC
+    clamp source shares the tile with its boundary cell."""
     nx, ny, nz = gshape           # TRUE grid shape (pre-padding)
     tx, ty = tile
     recip = _recip_exact if precise else _recip_fast
-    ex, ey = tx + 2, ty + 2       # extended (+1 BC ring) region
+    rim = 1 if ring else 0
+    ex, ey = tx + 2 * rim, ty + 2 * rim
     wx, wy = tx + 2 * XA, ty + 2 * YA
 
     def kernel(dx_ref, h_ref, ox_ref, oy_ref, phi_hbm, sign_hbm, out_hbm,
@@ -206,7 +212,7 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
             # sign window needs only the extended ring in x (dim 0 of an HBM
             # window has no alignment constraint)
             s = pltpu.make_async_copy(
-                sign_hbm.at[pl.ds(wi * tx + XA - 1, ex),
+                sign_hbm.at[pl.ds(wi * tx + XA - rim, ex),
                             pl.ds(wj * ty, wy), :],
                 sslab.at[slot], in_sems.at[slot, 1])
             return p, s
@@ -244,21 +250,21 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
         eps_floor_s = eps_floor * (dx * dx)
 
         def pval(xoff, yoff):
-            """phi window values on the extended region, shifted."""
+            """phi window values on the compute region, shifted."""
             return pslab[slot,
-                         XA - 1 + xoff:XA - 1 + xoff + ex,
-                         YA - 1 + yoff:YA - 1 + yoff + ey, :]
+                         XA - rim + xoff:XA - rim + xoff + ex,
+                         YA - rim + yoff:YA - rim + yoff + ey, :]
 
         c = pval(0, 0)
-        sgn_src = sslab[slot, :, YA - 1:YA - 1 + ey, :]
+        sgn_src = sslab[slot, :, YA - rim:YA - rim + ey, :]
 
         # global true-grid coordinates of the extended region's cells, kept
         # minimal-rank (broadcast late: comparisons stay 1D until combined).
         # ox/oy carry this block's global origin (0 single-device; the
         # shard's offset under domain decomposition).
-        gx = (ox_ref[0, 0] + bi * tx - 1
+        gx = (ox_ref[0, 0] + bi * tx - rim
               + jax.lax.broadcasted_iota(jnp.int32, (ex, 1, 1), 0))
-        gy = (oy_ref[0, 0] + bj * ty - 1
+        gy = (oy_ref[0, 0] + bj * ty - rim
               + jax.lax.broadcasted_iota(jnp.int32, (1, ey, 1), 1))
         gz = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nzp), 2)
 
@@ -333,7 +339,8 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
         def _():
             out_dma(slot, lin - 2).wait()
 
-        oslab[slot] = final[1:1 + tx, 1:1 + ty, :]
+        oslab[slot] = (final[rim:rim + tx, rim:rim + ty, :] if rim
+                       else final)
         out_dma(slot, lin).start()
 
         @pl.when(lin == n_blocks - 1)
@@ -348,10 +355,30 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
 
 def _pick_tile(gshape) -> Tuple[int, int]:
     """(tx, ty): ty must be a multiple of the sublane tile (8); both are
-    free otherwise since the padded layout supports any grid size."""
-    _, ny, _ = gshape
+    free otherwise since the padded layout supports any grid size.  Prefers
+    tiles with n % t != 1 so no global face lands on a tile's first
+    row/col, letting the kernel drop the +1 BC ring (ring=False)."""
+    nx, ny, _ = gshape
+    tx = 8
+    if nx % tx == 1:
+        for cand in (7, 6, 5, 4, 3):
+            if nx % cand != 1:
+                tx = cand
+                break
     ty = 64 if ny >= 48 else max(8, -(-ny // 8) * 8)
-    return 8, min(ty, 64)
+    ty = min(ty, 64)
+    if ny % ty == 1:
+        for cand in (56, 48, 40, 32, 24, 16, 8):
+            if cand <= ty and ny % cand != 1:
+                ty = cand
+                break
+    return tx, ty
+
+
+def _needs_ring(gshape, tile) -> bool:
+    nx, ny, _ = gshape
+    tx, ty = tile
+    return nx % tx == 1 or ny % ty == 1
 
 
 def _ceil_to(n, m):
@@ -396,9 +423,10 @@ def _pallas_step_padded(phi_pad, sign_pad, dx, h, *, gshape, eps_scale,
     if offsets is None:
         offsets = (jnp.int32(0), jnp.int32(0))
     ratio_floor = 1e-70 if phi_pad.dtype == jnp.float64 else 1e-7
+    ring = _needs_ring(gshape, tile)
     kernel, (wx, wy), ex = _make_kernel(
         gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
-        ratio_floor, precise=precise or interpret)
+        ratio_floor, precise=precise or interpret, ring=ring)
 
     scalar_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM)

@@ -93,3 +93,16 @@ def test_f64_falls_back_to_jnp():
     out = reinit_fixed(phi, dx, h, 2, remat=False, use_pallas=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-12)
+
+
+def test_ring_kernel_variant():
+    """Force the +1-BC-ring kernel (tile chosen so a global face lands on
+    a tile's first row) and check it still matches the jnp step."""
+    phi = _field((17, 32, 64), seed=7)          # 17 % 8 == 1 -> ring
+    dx, h = 0.05, 0.005
+    ef = default_eps_floor(phi.dtype)
+    ref = _reinit_step_jnp(phi, phi, jnp.float32(dx), jnp.float32(h),
+                           1e-6, ef, False)
+    out = reinit_step_pallas(phi, phi, dx, h, tile=(8, 32))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-6, rtol=1e-5)
