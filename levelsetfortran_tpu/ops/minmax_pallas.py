@@ -45,8 +45,8 @@ def _make_kernel(gshape, tile, nzp):
     tx, ty = tile
     wx, wy = tx + 2, ty + 2 * YA
 
-    def kernel(dx_ref, h1_ref, br_ref, th_ref, phi_hbm, out_hbm,
-               slab, oslab, in_sems, out_sems):
+    def kernel(dx_ref, h1_ref, br_ref, th_ref, ox_ref, oy_ref,
+               phi_hbm, out_hbm, slab, oslab, in_sems, out_sems):
         bi = pl.program_id(0)
         bj = pl.program_id(1)
         nby = pl.num_programs(1)
@@ -101,9 +101,9 @@ def _make_kernel(gshape, tile, nzp):
         # update gate: narrow band AND global interior (face cells never
         # update — the only cells whose stencil touches the apron, so
         # apron garbage is provably select-discarded; see minmax_step)
-        gx = (bi * tx
+        gx = (ox_ref[0, 0] + bi * tx
               + jax.lax.broadcasted_iota(jnp.int32, (tx, 1, 1), 0))
-        gy = (bj * ty
+        gy = (oy_ref[0, 0] + bj * ty
               + jax.lax.broadcasted_iota(jnp.int32, (1, ty, 1), 1))
         gz = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nzp), 2)
         interior = ((gx >= 1) & (gx <= nx - 2) & (gy >= 1) & (gy <= ny - 2)
@@ -136,12 +136,18 @@ def _pick_tile(gshape):
 
 @functools.partial(jax.jit, static_argnames=("gshape", "tile", "interpret"))
 def minmax_step_padded(phi_pad, dx, h1, band_radius, threshold, *, gshape,
-                       tile, interpret):
-    """One min/max Euler step on a padded-layout array."""
+                       tile, interpret, offsets=None):
+    """One min/max Euler step on a padded-layout array.
+
+    ``offsets`` (ox, oy): this block's global origin — (0, 0) single-device,
+    the shard offset under domain decomposition."""
     nx, ny, nz = gshape
     tx, ty = tile
-    nxp, nyp = _ceil_to(nx, tx), _ceil_to(ny, ty)
+    nxp = phi_pad.shape[0] - 2 * XA
+    nyp = phi_pad.shape[1] - 2 * YA
     nzp = phi_pad.shape[2]
+    if offsets is None:
+        offsets = (jnp.int32(0), jnp.int32(0))
     kernel, (wx, wy) = _make_kernel(gshape, tile, nzp)
     scalar = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                           memory_space=pltpu.SMEM)
@@ -154,11 +160,13 @@ def minmax_step_padded(phi_pad, dx, h1, band_radius, threshold, *, gshape,
     def s(v):
         return jnp.reshape(jnp.asarray(v, dt), (1, 1))
 
+    int_scalar = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                              memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(phi_pad.shape, dt),
         grid=(nxp // tx, nyp // ty),
-        in_specs=[scalar, scalar, scalar, scalar,
+        in_specs=[scalar, scalar, scalar, scalar, int_scalar, int_scalar,
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -172,7 +180,9 @@ def minmax_step_padded(phi_pad, dx, h1, band_radius, threshold, *, gshape,
             vmem_limit_bytes=int(vmem_limit),
         ),
         interpret=interpret,
-    )(s(dx), s(h1), s(band_radius), s(threshold), phi_pad)
+    )(s(dx), s(h1), s(band_radius), s(threshold),
+      jnp.reshape(jnp.asarray(offsets[0], jnp.int32), (1, 1)),
+      jnp.reshape(jnp.asarray(offsets[1], jnp.int32), (1, 1)), phi_pad)
 
 
 def minmax_pallas_applicable(phi, avg_halfwidth, use_true_curvature) -> bool:

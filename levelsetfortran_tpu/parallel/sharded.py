@@ -169,6 +169,23 @@ def reinit_step_local_pallas(phi_l, sign_l, dx, h, *, gshape, mesh_shape,
     return out_pad[wp.XA:wp.XA + bx, wp.YA:wp.YA + by, :]
 
 
+def minmax_step_local_pallas(phi_l, dx, h1, band_radius, threshold, *,
+                             gshape, mesh_shape, tile, interpret=False):
+    """One min/max Euler step with the fused Pallas kernel per block
+    (2D (x, y) decomposition; same layout contract as the reinit kernel)."""
+    from ..ops import minmax_pallas as mp
+    from ..ops import weno_pallas as wp
+    b = phi_l.shape
+    bx, by = b[0], b[1]
+    ox = jax.lax.axis_index(AXIS_NAMES[0]) * bx
+    oy = jax.lax.axis_index(AXIS_NAMES[1]) * by
+    pad = halo_exchange(phi_l, (wp.XA, wp.YA, 0), mesh_shape)
+    out_pad = mp.minmax_step_padded(
+        pad, dx, h1, band_radius, threshold, gshape=gshape, tile=tile,
+        interpret=interpret, offsets=(ox, oy))
+    return out_pad[wp.XA:wp.XA + bx, wp.YA:wp.YA + by, :]
+
+
 def minmax_step_local(phi_l, dx, h1, *, gshape, mesh_shape,
                       band_radius=4.1, threshold=0.0, avg_halfwidth=1):
     """One Jacobi min/max smoothing step on a local block."""
@@ -264,11 +281,17 @@ class ShardedLevelSet:
         def _minmax(phi, h1, iters, tol, band_radius, threshold):
             def body(state):
                 p, _, n, _, _ = state
-                new = minmax_step_local(
-                    p, dx, h1, gshape=self.gshape,
-                    mesh_shape=self.mesh_shape, band_radius=band_radius,
-                    threshold=threshold)
-                rms = _global_rms(new, p, self.gshape)
+                if self.use_pallas:
+                    new = minmax_step_local_pallas(
+                        p, dx, h1, band_radius, threshold,
+                        gshape=self.gshape, mesh_shape=self.mesh_shape,
+                        tile=self._mtile, interpret=self._pinterp)
+                else:
+                    new = minmax_step_local(
+                        p, dx, h1, gshape=self.gshape,
+                        mesh_shape=self.mesh_shape, band_radius=band_radius,
+                        threshold=threshold)
+                rms = _global_rms(new[..., :nz], p[..., :nz], self.gshape)
                 done = (rms < tol) | jnp.isnan(rms)
                 return (new, p, n + 1, rms, done)
 
@@ -313,14 +336,17 @@ class ShardedLevelSet:
         from ..ops import weno_pallas as wp
         if min(self.gshape) < 8:
             return
+        from ..ops import minmax_pallas as mp
         bx = self.gshape[0] // self.mesh_shape[0]
         by = self.gshape[1] // self.mesh_shape[1]
         nzp = -(-self.gshape[2] // wp.ZALIGN) * wp.ZALIGN
         tx, ty = wp._pick_tile((bx, by, nzp))
-        if bx % tx or by % ty:
+        mtx, mty = mp._pick_tile((bx, by, nzp))
+        if bx % tx or by % ty or bx % mtx or by % mty:
             return
         self.use_pallas = True
         self._ptile = (tx, ty)
+        self._mtile = (mtx, mty)
         self.nzp = nzp
         self._pinterp = (jax.default_backend() != "tpu"
                          if pallas_interpret is None else
@@ -350,10 +376,16 @@ class ShardedLevelSet:
     def minmax_flow(self, phi, h1, iters: int, tol: float, *,
                     band_radius=4.1, threshold=0.0):
         dt = phi.dtype
-        return self._minmax(phi, jnp.asarray(h1, dt), jnp.int32(iters),
-                            jnp.asarray(tol, dt),
-                            jnp.asarray(band_radius, dt),
-                            jnp.asarray(threshold, dt))
+        if self.use_pallas and phi.shape[2] == self.gshape[2] \
+                and self.nzp != self.gshape[2]:
+            phi = self.device_put(phi)        # re-enter padded-z layout
+        p, n, rms = self._minmax(phi, jnp.asarray(h1, dt), jnp.int32(iters),
+                                 jnp.asarray(tol, dt),
+                                 jnp.asarray(band_radius, dt),
+                                 jnp.asarray(threshold, dt))
+        if self.use_pallas and p.shape[2] != self.gshape[2]:
+            p = p[..., :self.gshape[2]]
+        return p, n, rms
 
 
 # ------------------------------ dry run ------------------------------

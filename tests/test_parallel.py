@@ -128,3 +128,26 @@ def test_sharded_pallas_blocks_match_single_device(eight_devices):
     assert int(it) == 4
     np.testing.assert_allclose(np.asarray(jax.device_get(out)), ref,
                                atol=2e-6)
+
+
+def test_sharded_pallas_minmax_matches_single_device(eight_devices):
+    import numpy as np
+    from levelsetfortran_tpu.parallel.mesh import make_mesh
+    from levelsetfortran_tpu.parallel.sharded import ShardedLevelSet
+    from levelsetfortran_tpu.solvers.minmax_flow import minmax_flow
+
+    n = (32, 32, 16)
+    xs = [np.linspace(-1.2, 1.2, k) for k in n]
+    gx, gy, gz = np.meshgrid(*xs, indexing="ij")
+    phi0 = jnp.asarray(
+        (np.sqrt(gx**2 + gy**2 + gz**2) - 0.6).astype(np.float32))
+    dx = 2.4 / 31
+    h1 = 0.05 * dx * dx
+    ref = minmax_flow(phi0, dx, h1, 6, 0.0, use_pallas=False)
+    mesh = make_mesh((4, 2, 1), eight_devices)
+    s = ShardedLevelSet(mesh, n, dx, use_pallas=True)
+    assert s.use_pallas
+    out, it, _ = s.minmax_flow(s.device_put(phi0), h1, 6, 0.0)
+    assert int(it) == 6
+    np.testing.assert_allclose(np.asarray(jax.device_get(out)),
+                               np.asarray(ref.phi), atol=2e-6)
