@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .weno_pallas import (XA, YA, _ceil_to, _roll, crop_from_pallas,
+from .weno_pallas import (XA, YA, _roll, crop_from_pallas,
                           pad_for_pallas, pallas_supported)
 
 

@@ -14,8 +14,6 @@ is bitwise-equivalent (up to float reduction order) to the single-device one
 
 from __future__ import annotations
 
-import math
-from functools import partial
 from typing import Tuple
 
 import jax
@@ -28,7 +26,7 @@ try:  # jax >= 0.6 exposes shard_map at top level
 except AttributeError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map  # type: ignore
 
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from ..ops.sign import smeared_sign
 from ..ops.weno import weno_godunov

@@ -18,7 +18,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Optional
 
-import jax
 import jax.numpy as jnp
 
 from ..utils.checkpoint import FieldCheckpointer
