@@ -51,3 +51,21 @@ def test_checkpointed_strategy_matches_plain(plain_result, tmp_path):
     np.testing.assert_allclose(res.phi_smoothed,
                                plain_result.phi_smoothed, atol=5e-5)
     assert res.reinit_iters == plain_result.reinit_iters
+
+
+def test_reference_parity_config_end_to_end():
+    """REFERENCE_PARITY (float64, all reference quirks on) runs the full
+    pipeline on CPU — the configuration for bit-level parity studies."""
+    from levelsetfortran_tpu.config import REFERENCE_PARITY
+
+    cfg = REFERENCE_PARITY.replace(
+        dx=0.2, pad_cells=4, reinit_iters=20, minmax_iters=5,
+        advect_iters=5, final_reinit_iters=2)
+    res = run("/root/reference/twoCube10.stl", cfg, write_outputs=False)
+    assert res.phi_init.dtype == np.float64
+    assert np.isfinite(res.phi_smoothed).all()
+    assert np.isfinite(res.advected).all()
+    # quirks must actually change the numerics vs the corrected math
+    cfg2 = cfg.replace(quirks=type(cfg.quirks)())
+    res2 = run("/root/reference/twoCube10.stl", cfg2, write_outputs=False)
+    assert np.abs(res.phi_init - res2.phi_init).max() > 0.0
