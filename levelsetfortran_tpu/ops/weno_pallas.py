@@ -472,10 +472,13 @@ def _pallas_step_padded(phi_pad, sign_pad, dx, h, *, gshape, eps_scale,
 # ------------------------------ public API ------------------------------
 
 def pallas_supported(shape, dtype) -> bool:
-    """Whether the fused kernel applies: 3D, f32/bf16, and every axis large
-    enough that wrapped z-rolls and aprons stay behind the masks."""
-    if len(shape) != 3 or jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
-                                                   jnp.dtype(jnp.bfloat16)):
+    """Whether the fused kernel applies: 3D float32, every axis large
+    enough that wrapped z-rolls and aprons stay behind the masks.
+
+    bf16 is excluded: its 16-sublane tiling conflicts with the YA=8 window
+    alignment this layout assumes (and VPU bf16 gives no rate advantage
+    here anyway); bf16/f64 grids fall back to the jnp path."""
+    if len(shape) != 3 or jnp.dtype(dtype) != jnp.dtype(jnp.float32):
         return False
     return min(shape) >= 8
 
