@@ -327,8 +327,11 @@ class ShardedLevelSet:
         self._ptile = None
         self._pinterp = False
         self.nzp = self.gshape[2]
-        want = (jax.default_backend() == "tpu" if use_pallas == "auto"
-                else bool(use_pallas))
+        # Key off the mesh's device platform, not the process default
+        # backend: under a tunneled TPU + forced virtual CPU devices they
+        # differ, and Pallas must compile for the devices that run it.
+        on_tpu = self.mesh.devices.flat[0].platform == "tpu"
+        want = (on_tpu if use_pallas == "auto" else bool(use_pallas))
         if not want or self.k != 1 or self.mesh_shape[2] != 1:
             return
         from ..ops import weno_pallas as wp
@@ -346,8 +349,7 @@ class ShardedLevelSet:
         self._ptile = (tx, ty)
         self._mtile = (mtx, mty)
         self.nzp = nzp
-        self._pinterp = (jax.default_backend() != "tpu"
-                         if pallas_interpret is None else
+        self._pinterp = ((not on_tpu) if pallas_interpret is None else
                          bool(pallas_interpret))
 
     def device_put(self, phi):
@@ -391,7 +393,16 @@ class ShardedLevelSet:
 def dryrun(n_devices: int) -> None:
     """Compile + execute one full sharded solver step on tiny shapes over an
     ``n_devices`` mesh — the driver's multi-chip validation hook."""
-    devs = jax.devices()[:n_devices]
+    devs = jax.devices()
+    if len(devs) < n_devices:
+        # Default platform (e.g. a single tunneled TPU chip) is too small;
+        # fall back to the virtual CPU devices the driver forces via
+        # --xla_force_host_platform_device_count.
+        devs = jax.devices("cpu")
+    devs = devs[:n_devices]
+    if len(devs) < n_devices:
+        raise RuntimeError(
+            f"dryrun needs {n_devices} devices; have {len(devs)}")
     mesh_shape = factor3(n_devices)
     mesh = make_mesh(mesh_shape, devs)
     # tiny grid divisible by the mesh, >= 2 cells per shard per axis
