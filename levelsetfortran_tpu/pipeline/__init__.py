@@ -1,1 +1,2 @@
 from .run import run, run_mesh, PipelineResult
+from .batch import run_batch, BatchItem

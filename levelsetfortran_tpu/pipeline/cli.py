@@ -19,7 +19,10 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native level-set pipeline: STL -> SDF -> smoothing "
                     "-> advected surface (.vti/.s3d outputs)")
     d = LevelSetConfig()
-    p.add_argument("mesh", help="input .stl (binary or ascii) or .s3d file")
+    p.add_argument("mesh", nargs="+",
+                   help="input .stl (binary or ascii) or .s3d file(s); "
+                        "several inputs run as ONE batched program "
+                        "(vmapped solver stages, per-geometry convergence)")
     p.add_argument("--dx", type=float, default=d.dx)
     p.add_argument("--pad-cells", type=int, default=d.pad_cells)
     p.add_argument("--reinit-iters", type=int, default=d.reinit_iters)
@@ -68,7 +71,17 @@ def main(argv=None) -> int:
         mesh_shape=mesh_shape, steps_per_exchange=args.steps_per_exchange,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_chunk=args.checkpoint_chunk)
-    result = run(args.mesh, cfg, out_dir=args.out_dir,
+    if len(args.mesh) > 1:
+        from .batch import run_batch
+        items = run_batch(args.mesh, cfg, out_dir=args.out_dir or ".",
+                          write_outputs=not args.no_outputs)
+        for it in items:
+            print(f"[{it.name}] grid={it.grid.shape} "
+                  f"reinit_iters={it.reinit_iters} "
+                  f"minmax_iters={it.minmax_iters} "
+                  f"asymptotic_error={it.asymptotic_error:.3e}")
+        return 0
+    result = run(args.mesh[0], cfg, out_dir=args.out_dir,
                  write_outputs=not args.no_outputs)
     print(f"grid={result.grid.shape} reinit_iters={result.reinit_iters} "
           f"minmax_iters={result.minmax_iters} "
