@@ -47,6 +47,30 @@ from ..utils.logging import log_event
 MeshLike = Union[str, SurfaceMesh]
 
 
+def batch_sharding(n_devices: Optional[int] = None):
+    """1D batch-axis sharding over the first ``n_devices`` devices — data
+    parallelism for serving.  Each device owns whole geometries, so the
+    vmapped solver steps need NO halo communication; the only collective is
+    the scalar ``all(done)``/RMS reduction per iteration.
+    """
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    mesh = Mesh(np.asarray(devs), ("b",))
+    return NamedSharding(mesh, PartitionSpec("b"))
+
+
+def _pad_batch(x, n_devices: int):
+    """Pad the leading axis up to a device multiple (repeat last element);
+    returns (padded, true_b)."""
+    b = x.shape[0]
+    rem = (-b) % n_devices
+    if rem:
+        x = jnp.concatenate([x, jnp.repeat(x[-1:], rem, axis=0)])
+    return x, b
+
+
 # --------------------------- batched solvers ---------------------------
 
 def _freeze(done, new, old):
@@ -177,13 +201,21 @@ def _load(m: MeshLike) -> tuple[SurfaceMesh, str]:
 def run_batch(inputs: Sequence[MeshLike],
               config: LevelSetConfig = LevelSetConfig(), *,
               out_dir: Optional[str] = None,
-              write_outputs: bool = False) -> List[BatchItem]:
+              write_outputs: bool = False,
+              data_parallel: Union[bool, int, None] = None
+              ) -> List[BatchItem]:
     """Serve a batch of geometries through init -> reinit -> min/max ->
     advection as one stacked program per solver stage.
 
     Stage order matches the solo pipeline (SURVEY.md §3.1); the per-stage
     math is identical — only the execution strategy (vmap over a batch
     axis, per-element convergence masking) differs.
+
+    ``data_parallel`` shards the batch axis over devices (``True``: all,
+    int: that many): each device owns whole geometries, so scaling is
+    communication-free except the per-iteration scalar reductions.  The
+    batch is padded to a device multiple by repeating the last geometry
+    (padding results are dropped).
     """
     loaded = [_load(m) for m in inputs]
     meshes = [m for m, _ in loaded]
@@ -210,6 +242,16 @@ def run_batch(inputs: Sequence[MeshLike],
     dxx = jnp.asarray([cfg.dx / gridmod.surface_diag(m.vertices)
                        for m in meshes], dtype)
 
+    true_b = phi0.shape[0]
+    if data_parallel:
+        nd = (len(jax.devices()) if data_parallel is True
+              else int(data_parallel))
+        phi0, _ = _pad_batch(phi0, nd)
+        dxx, _ = _pad_batch(dxx, nd)
+        sh = batch_sharding(nd)
+        phi0 = jax.device_put(phi0, sh)
+        log_event("batch_dp", devices=nd, padded_b=int(phi0.shape[0]))
+
     phi_init, r_it, r_rms, r_div = reinit_batched(
         phi0, cfg.dx, cfg.reinit_cfl * dxx, cfg.reinit_iters,
         cfg.reinit_tol, eps_scale=cfg.weno_eps_scale,
@@ -221,6 +263,11 @@ def run_batch(inputs: Sequence[MeshLike],
         cfg.minmax_tol, band_radius=cfg.band_radius,
         threshold=cfg.minmax_threshold,
         avg_halfwidth=cfg.minmax_avg_halfwidth)
+
+    if true_b != phi_init.shape[0]:    # drop DP padding replicas
+        phi_init, phi_sm = phi_init[:true_b], phi_sm[:true_b]
+        r_it, r_rms, r_div = r_it[:true_b], r_rms[:true_b], r_div[:true_b]
+        m_it, m_rms, m_div = m_it[:true_b], m_rms[:true_b], m_div[:true_b]
 
     shape = grids[0].shape
     denom = (shape[0] - 1) * (shape[1] - 1) * (shape[2] - 1)

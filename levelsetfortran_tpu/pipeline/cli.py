@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="enable orbax checkpoint/resume for the solver "
                         "stages (single-device path)")
     p.add_argument("--checkpoint-chunk", type=int, default=500)
+    p.add_argument("--data-parallel", type=int, default=None, metavar="N",
+                   help="batch mode only: shard the geometry batch over N "
+                        "devices (0 = all devices)")
     return p
 
 
@@ -73,8 +76,10 @@ def main(argv=None) -> int:
         checkpoint_chunk=args.checkpoint_chunk)
     if len(args.mesh) > 1:
         from .batch import run_batch
+        dp = (True if args.data_parallel == 0 else args.data_parallel)
         items = run_batch(args.mesh, cfg, out_dir=args.out_dir or ".",
-                          write_outputs=not args.no_outputs)
+                          write_outputs=not args.no_outputs,
+                          data_parallel=dp)
         for it in items:
             print(f"[{it.name}] grid={it.grid.shape} "
                   f"reinit_iters={it.reinit_iters} "

@@ -99,3 +99,42 @@ def test_run_batch_matches_solo_pipeline(tmp_path):
     # artifacts per geometry
     assert (tmp_path / "surface0" / "signedDistanceFunction.vti").exists()
     assert (tmp_path / "surface1" / "surface1.s3d").exists()
+
+
+def test_data_parallel_batch_matches_unsharded():
+    import jax
+    from levelsetfortran_tpu.pipeline.batch import (_pad_batch,
+                                                    batch_sharding)
+
+    grid = _grid(n=16)
+    phis = jnp.stack([_sphere_phi(grid, scale=2.0),
+                      _sphere_phi(grid, scale=0.5, r=0.5),
+                      _sphere_phi(grid, scale=1.5, r=0.6)])
+    h = jnp.asarray([0.1, 0.08, 0.09], jnp.float32) * grid.dx
+
+    ref, ref_counts, _, _ = reinit_batched(phis, grid.dx, h, 20, 1e-4)
+
+    nd = min(4, len(jax.devices()))
+    padded, true_b = _pad_batch(phis, nd)
+    h_pad, _ = _pad_batch(h, nd)
+    sharded = jax.device_put(padded, batch_sharding(nd))
+    out, counts, _, _ = reinit_batched(sharded, grid.dx, h_pad, 20, 1e-4)
+
+    np.testing.assert_allclose(np.asarray(out[:true_b]), np.asarray(ref),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(counts[:true_b]),
+                                  np.asarray(ref_counts))
+
+
+def test_run_batch_data_parallel(tmp_path):
+    cfg = LevelSetConfig(dx=0.12, pad_cells=3, reinit_iters=20,
+                         minmax_iters=5, advect_iters=5,
+                         dtype=jnp.float32)
+    meshes = [box_mesh(half_extent=(0.5, 0.5, 0.5)),
+              icosphere_mesh(radius=0.5, subdivisions=1)]
+    solo = run_batch(meshes, cfg)
+    dp = run_batch(meshes, cfg, data_parallel=2)
+    for a, b in zip(solo, dp):
+        np.testing.assert_allclose(a.phi_smoothed, b.phi_smoothed,
+                                   atol=5e-5)
+        assert a.reinit_iters == b.reinit_iters
