@@ -202,8 +202,8 @@ def run_batch(inputs: Sequence[MeshLike],
               config: LevelSetConfig = LevelSetConfig(), *,
               out_dir: Optional[str] = None,
               write_outputs: bool = False,
-              data_parallel: Union[bool, int, None] = None
-              ) -> List[BatchItem]:
+              data_parallel: Union[bool, int, None] = None,
+              strategy: str = "auto") -> List[BatchItem]:
     """Serve a batch of geometries through init -> reinit -> min/max ->
     advection as one stacked program per solver stage.
 
@@ -216,6 +216,17 @@ def run_batch(inputs: Sequence[MeshLike],
     communication-free except the per-iteration scalar reductions.  The
     batch is padded to a device multiple by repeating the last geometry
     (padding results are dropped).
+
+    ``strategy`` picks the solver execution: ``"vmap"`` stacks the batch
+    into one program (amortizes compilation; fills the chip when a single
+    small grid under-utilizes it), ``"sequential"`` runs the solo solvers
+    per geometry (routes through the fused Pallas kernels on TPU — faster
+    per cell once one grid already saturates the chip), ``"auto"`` uses
+    vmap for small grids and sequential for large ones (or whenever
+    ``data_parallel`` is off and the fused kernel applies to big grids).
+    Both integrate the same Jacobi step with the same per-element stop
+    rule; fields match at solver tolerance (bitwise on the jnp path,
+    ~1-ulp/step on the fused TPU kernel).
     """
     loaded = [_load(m) for m in inputs]
     meshes = [m for m, _ in loaded]
@@ -242,27 +253,63 @@ def run_batch(inputs: Sequence[MeshLike],
     dxx = jnp.asarray([cfg.dx / gridmod.surface_diag(m.vertices)
                        for m in meshes], dtype)
 
+    if strategy not in ("auto", "vmap", "sequential"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "auto":
+        # once ONE grid saturates the chip, vmap stops paying and the
+        # solo path's fused Pallas kernels win; below that, stacking fills
+        # the VPU and amortizes compilation
+        from ..solvers.reinit import _use_pallas
+        big = int(np.prod(grids[0].shape)) >= 96 ** 3
+        strategy = ("sequential"
+                    if big and not data_parallel
+                    and _use_pallas("auto", phi0[0], None) else "vmap")
+    log_event("batch_strategy", strategy=strategy)
+
     true_b = phi0.shape[0]
-    if data_parallel:
-        nd = (len(jax.devices()) if data_parallel is True
-              else int(data_parallel))
-        phi0, _ = _pad_batch(phi0, nd)
-        dxx, _ = _pad_batch(dxx, nd)
-        sh = batch_sharding(nd)
-        phi0 = jax.device_put(phi0, sh)
-        log_event("batch_dp", devices=nd, padded_b=int(phi0.shape[0]))
+    if strategy == "sequential":
+        from ..solvers.minmax_flow import minmax_flow
+        from ..solvers.reinit import reinit
+        rs = [reinit(phi0[i], cfg.dx, cfg.reinit_cfl * dxx[i],
+                     cfg.reinit_iters, cfg.reinit_tol,
+                     eps_scale=cfg.weno_eps_scale, eps_floor=cfg.eps_floor,
+                     quirk_y_p5_zero=cfg.quirks.weno_y_p5_zero)
+              for i in range(true_b)]
+        phi_init = jnp.stack([r.phi for r in rs])
+        r_it = jnp.stack([r.iterations for r in rs])
+        r_rms = jnp.stack([r.final_rms for r in rs])
+        r_div = jnp.stack([r.diverged for r in rs])
+        ms = [minmax_flow(phi_init[i], cfg.dx, cfg.minmax_cfl * dxx[i],
+                          cfg.minmax_iters, cfg.minmax_tol,
+                          band_radius=cfg.band_radius,
+                          threshold=cfg.minmax_threshold,
+                          avg_halfwidth=cfg.minmax_avg_halfwidth)
+              for i in range(true_b)]
+        phi_sm = jnp.stack([m.phi for m in ms])
+        m_it = jnp.stack([m.iterations for m in ms])
+        m_rms = jnp.stack([m.final_rms for m in ms])
+        m_div = jnp.stack([m.diverged for m in ms])
+    else:
+        if data_parallel:
+            nd = (len(jax.devices()) if data_parallel is True
+                  else int(data_parallel))
+            phi0, _ = _pad_batch(phi0, nd)
+            dxx, _ = _pad_batch(dxx, nd)
+            sh = batch_sharding(nd)
+            phi0 = jax.device_put(phi0, sh)
+            log_event("batch_dp", devices=nd, padded_b=int(phi0.shape[0]))
 
-    phi_init, r_it, r_rms, r_div = reinit_batched(
-        phi0, cfg.dx, cfg.reinit_cfl * dxx, cfg.reinit_iters,
-        cfg.reinit_tol, eps_scale=cfg.weno_eps_scale,
-        eps_floor=cfg.eps_floor,
-        quirk_y_p5_zero=cfg.quirks.weno_y_p5_zero)
+        phi_init, r_it, r_rms, r_div = reinit_batched(
+            phi0, cfg.dx, cfg.reinit_cfl * dxx, cfg.reinit_iters,
+            cfg.reinit_tol, eps_scale=cfg.weno_eps_scale,
+            eps_floor=cfg.eps_floor,
+            quirk_y_p5_zero=cfg.quirks.weno_y_p5_zero)
 
-    phi_sm, m_it, m_rms, m_div = minmax_batched(
-        phi_init, cfg.dx, cfg.minmax_cfl * dxx, cfg.minmax_iters,
-        cfg.minmax_tol, band_radius=cfg.band_radius,
-        threshold=cfg.minmax_threshold,
-        avg_halfwidth=cfg.minmax_avg_halfwidth)
+        phi_sm, m_it, m_rms, m_div = minmax_batched(
+            phi_init, cfg.dx, cfg.minmax_cfl * dxx, cfg.minmax_iters,
+            cfg.minmax_tol, band_radius=cfg.band_radius,
+            threshold=cfg.minmax_threshold,
+            avg_halfwidth=cfg.minmax_avg_halfwidth)
 
     if true_b != phi_init.shape[0]:    # drop DP padding replicas
         phi_init, phi_sm = phi_init[:true_b], phi_sm[:true_b]

@@ -138,3 +138,18 @@ def test_run_batch_data_parallel(tmp_path):
         np.testing.assert_allclose(a.phi_smoothed, b.phi_smoothed,
                                    atol=5e-5)
         assert a.reinit_iters == b.reinit_iters
+
+
+def test_sequential_strategy_matches_vmap():
+    cfg = LevelSetConfig(dx=0.12, pad_cells=3, reinit_iters=20,
+                         minmax_iters=5, advect_iters=5,
+                         dtype=jnp.float32)
+    meshes = [box_mesh(half_extent=(0.5, 0.5, 0.5)),
+              icosphere_mesh(radius=0.5, subdivisions=1)]
+    v = run_batch(meshes, cfg, strategy="vmap")
+    s = run_batch(meshes, cfg, strategy="sequential")
+    for a, b in zip(v, s):
+        np.testing.assert_allclose(a.phi_smoothed, b.phi_smoothed,
+                                   atol=5e-5)
+        assert a.reinit_iters == b.reinit_iters
+        assert a.minmax_iters == b.minmax_iters
