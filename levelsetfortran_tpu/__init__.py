@@ -23,6 +23,9 @@ def __getattr__(name):
     if name == "run":
         from .pipeline.run import run
         return run
+    if name == "run_batch":
+        from .pipeline.batch import run_batch
+        return run_batch
     if name == "render_from_vertices":
         from .pipeline.differentiable import render_from_vertices
         return render_from_vertices
