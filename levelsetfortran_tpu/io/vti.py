@@ -68,6 +68,55 @@ def write_vti(path: str, phi: np.ndarray, grid: Grid3D, *,
         f.write(b"</VTKFile>" + _LF)
 
 
+def write_vti_streaming(path: str, phi, grid: Grid3D, *,
+                        name: str = "phi", chunk_z: int = 16) -> None:
+    """Shard-aware .vti writer: streams the payload in z-slabs.
+
+    ``phi`` may be a (possibly sharded) jax Array; each slab fetch
+    (``jax.device_get`` of a ``[:, :, k0:k1]`` slice) gathers only that
+    slab's shards, so peak host memory is O(nx*ny*chunk_z) and the full
+    field is never materialized as one device buffer — the BASELINE
+    requirement that serial .vti I/O become sharded device arrays.  On a
+    multi-host pod this runs on process 0 with per-slab cross-host gathers.
+
+    Output is byte-identical to :func:`write_vti` (correct byte count).
+    """
+    import jax as _jax
+
+    if phi.shape != grid.shape:
+        raise ValueError(f"phi shape {phi.shape} != grid shape {grid.shape}")
+    nx, ny, nz = (s - 1 for s in grid.shape)
+    extent = f" 0 {nx:6d} 0 {ny:6d} 0 {nz:6d}"
+    origin = "".join(f"{v:20.8f} " for v in grid.origin)
+    spacing = "".join(f"{grid.dx:20.8f} " for _ in range(3))
+    nbyte = int(np.prod(grid.shape)) * 8
+
+    with open(path, "wb") as f:
+        f.write(b'<?xml version="1.0"?>' + _LF)
+        f.write(b'<VTKFile type="ImageData" version="0.1" '
+                b'byte_order="LittleEndian">' + _LF)
+        f.write(f'<ImageData WholeExtent="{extent}" '
+                f'Origin="{origin.rstrip()}" '
+                f'Spacing="{spacing.rstrip()}">'.encode() + _LF)
+        f.write(f'<Piece Extent="{extent}">'.encode() + _LF)
+        f.write(f'<PointData Scalars="{name}">'.encode() + _LF)
+        f.write(f'<DataArray type="Float64" Name="{name}" format="appended" '
+                f'offset="{0:16d}"/>'.encode() + _LF)
+        f.write(b"</PointData>" + _LF)
+        f.write(b"</Piece>" + _LF)
+        f.write(b"</ImageData>" + _LF)
+        f.write(b'<AppendedData encoding="raw">' + _LF)
+        f.write(b"_")
+        f.write(struct.pack("<i", nbyte))
+        for k0 in range(0, grid.shape[2], chunk_z):
+            k1 = min(k0 + chunk_z, grid.shape[2])
+            slab = np.asarray(_jax.device_get(phi[:, :, k0:k1]), np.float64)
+            # payload is x-fastest: (x,y,zc) -> (zc,y,x), C-ravel
+            f.write(np.ascontiguousarray(slab.transpose(2, 1, 0)).tobytes())
+        f.write(_LF + b"</AppendedData>" + _LF)
+        f.write(b"</VTKFile>" + _LF)
+
+
 def read_vti(path: str) -> tuple[np.ndarray, Grid3D]:
     """Read a .vti written by this module or by the reference program.
 

@@ -67,9 +67,17 @@ _BOX_FACES = [
 
 
 def box_mesh(center=(0.0, 0.0, 0.0), half_extent=(1.0, 1.0, 1.0),
-             subdiv: int = 1) -> SurfaceMesh:
+             subdiv: int = 1, *, subdivisions: int | None = None
+             ) -> SurfaceMesh:
     """Triangulated axis-aligned box with ``subdiv`` quads per edge,
-    outward-oriented (so the orientation-sign init sees inside as negative)."""
+    outward-oriented (so the orientation-sign init sees inside as negative).
+
+    ``subdivisions`` is an accepted alias for ``subdiv`` (this module is the
+    single home of the procedural fixtures; the former ``models.procedural``
+    duplicates were consolidated here).
+    """
+    if subdivisions is not None:
+        subdiv = int(subdivisions)
     c = np.asarray(center, dtype=np.float64)
     h = np.asarray(half_extent, dtype=np.float64)
     tris = []
@@ -98,8 +106,15 @@ def box_mesh(center=(0.0, 0.0, 0.0), half_extent=(1.0, 1.0, 1.0),
 
 
 def icosphere_mesh(center=(0.0, 0.0, 0.0), radius: float = 1.0,
-                   subdiv: int = 2) -> SurfaceMesh:
-    """Subdivided icosahedron projected to a sphere, outward-oriented."""
+                   subdiv: int = 2, *, subdivisions: int | None = None
+                   ) -> SurfaceMesh:
+    """Subdivided icosahedron projected to a sphere, outward-oriented.
+
+    ``subdivisions`` is an accepted alias for ``subdiv`` (see
+    :func:`box_mesh`).
+    """
+    if subdivisions is not None:
+        subdiv = int(subdivisions)
     t = (1.0 + np.sqrt(5.0)) / 2.0
     verts = np.array([
         [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],

@@ -132,8 +132,11 @@ def nearest_triangle(points, tri, tile: int = 128):
         best_i = jnp.where(better, base + tile_best.astype(jnp.int32), best_i)
         return (best_d, best_i), None
 
-    init = (jnp.full((P,), jnp.inf, dtype=points.dtype),
-            jnp.zeros((P,), dtype=jnp.int32))
+    # carry inherits points' varying-manual-axes type (the 0*x trick) so the
+    # scan typechecks under shard_map (body outputs vary over the mesh axes)
+    vary = points[:, 0] * 0
+    init = (jnp.full((P,), jnp.inf, dtype=points.dtype) + vary,
+            jnp.zeros((P,), dtype=jnp.int32) + vary.astype(jnp.int32))
     bases = jnp.arange(n_tiles, dtype=jnp.int32) * tile
     (best_d, best_i), _ = jax.lax.scan(body, init, (tri_p, bases))
     return best_d, best_i
@@ -196,8 +199,7 @@ def pseudonormal_sign(points, tri, best_d2, tile: int = 128,
         contrib = jnp.where(tie, w * _dot(u, n), 0.0)
         return acc + jnp.sum(contrib, axis=1), None
 
-    acc, _ = jax.lax.scan(body, jnp.zeros(points.shape[0], points.dtype),
-                          tri_p)
+    acc, _ = jax.lax.scan(body, points[:, 0] * 0, tri_p)
     return acc
 
 
@@ -230,8 +232,9 @@ def nearest_centroid(points: jnp.ndarray, centroids: jnp.ndarray,
         best_i = jnp.where(better, base + tile_best.astype(jnp.int32), best_i)
         return (best_d, best_i), None
 
-    init = (jnp.full((P,), jnp.inf, dtype=points.dtype),
-            jnp.zeros((P,), dtype=jnp.int32))
+    vary = points[:, 0] * 0
+    init = (jnp.full((P,), jnp.inf, dtype=points.dtype) + vary,
+            jnp.zeros((P,), dtype=jnp.int32) + vary.astype(jnp.int32))
     bases = jnp.arange(n_tiles, dtype=jnp.int32) * tile
     (_, best_i), _ = jax.lax.scan(body, init, (c_tiles, c_norm, bases))
     return best_i
@@ -276,6 +279,53 @@ def signed_distance_init(grid: Grid3D, vertices, elements, *,
     sgn = jnp.where(ps < 0, -1.0, 1.0).astype(dtype)
     dist = jnp.sqrt(jnp.maximum(d2, 1e-30))
     return (sgn * dist).reshape(grid.shape)
+
+
+def signed_distance_init_sharded(grid: Grid3D, vertices, elements, mesh, *,
+                                 dtype=jnp.float32, tile: int = 128):
+    """:func:`signed_distance_init` under ``shard_map``: grid points are
+    block-sharded over the device mesh, triangle tiles replicated.
+
+    The full global grid is never materialized on one device (BASELINE:
+    "serial .vti/.s3d I/O becomes sharded device arrays"); each shard runs
+    the same tiled argmin scan on its own block of points.  Differentiable
+    w.r.t. ``vertices``: shard_map's transpose all-reduces (psum) the
+    replicated-input cotangent across shards.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        shard_map = jax.shard_map
+    except AttributeError:                      # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    from ..parallel.mesh import AXIS_NAMES
+
+    gshape = tuple(grid.shape)
+    mesh_shape = tuple(mesh.devices.shape)
+    if any(g % m for g, m in zip(gshape, mesh_shape)):
+        raise ValueError(f"grid {gshape} not divisible by mesh {mesh_shape}")
+    block = tuple(g // m for g, m in zip(gshape, mesh_shape))
+    vertices = jnp.asarray(vertices, dtype=dtype)
+    tri = vertices[jnp.asarray(elements)]
+
+    def local(tri_l):
+        offs = [jax.lax.axis_index(n) * b
+                for n, b in zip(AXIS_NAMES, block)]
+        axes = [grid.origin[a]
+                + grid.dx * (offs[a] + jnp.arange(block[a], dtype=dtype))
+                for a in range(3)]
+        gx, gy, gz = jnp.meshgrid(*axes, indexing="ij")
+        points = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+        d2, _ = nearest_triangle(points, tri_l, tile=tile)
+        ps = pseudonormal_sign(points, jax.lax.stop_gradient(tri_l),
+                               jax.lax.stop_gradient(d2), tile=tile)
+        sgn = jnp.where(ps < 0, -1.0, 1.0).astype(dtype)
+        dist = jnp.sqrt(jnp.maximum(d2, 1e-30))
+        return (sgn * dist).reshape(block)
+
+    f = shard_map(local, mesh=mesh, in_specs=(P(),),
+                  out_specs=P(*AXIS_NAMES))
+    return jax.jit(f)(tri)
 
 
 def subbox_ranges(grid: Grid3D, lo, hi, margin: int = 3):

@@ -151,6 +151,12 @@ def _roll(v, shift, axis):
     return pltpu.roll(v, shift % v.shape[axis], axis)
 
 
+def _roll_jnp(v, shift, axis):
+    """jnp.roll (static concatenate form) — used in the tile function when it
+    is differentiated: pltpu.roll has no transpose rule, jnp.roll does."""
+    return jnp.roll(v, shift, axis)
+
+
 def _recip_exact(x):
     return 1.0 / x
 
@@ -178,8 +184,189 @@ def _godunov_axis(d_m, d_p, pos):
     return g * g
 
 
+def _sanitize_windows(win, swin, gx0, gy0, *, gshape, rim):
+    """Zero window cells outside the TRUE global grid.
+
+    Apron cells of intermediate padded iterates are unwritten HBM —
+    possibly NaN — and 0 * NaN would poison reverse-mode partials through
+    never-selected branches; real outputs never read them through selected
+    branches, so zeroing changes no forward value the caller keeps."""
+    nx, ny, nz = gshape
+    wx, wy, nzp = win.shape
+    ex = swin.shape[0]
+    wgx = (gx0 + rim - XA
+           + jax.lax.broadcasted_iota(jnp.int32, (wx, 1, 1), 0))
+    wgy = (gy0 + rim - YA
+           + jax.lax.broadcasted_iota(jnp.int32, (1, wy, 1), 1))
+    wgz = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nzp), 2)
+    valid = ((wgx >= 0) & (wgx < nx) & (wgy >= 0) & (wgy < ny)
+             & (wgz < nz))
+    sgx = gx0 + jax.lax.broadcasted_iota(jnp.int32, (ex, 1, 1), 0)
+    svalid = ((sgx >= 0) & (sgx < nx) & (wgy >= 0) & (wgy < ny)
+              & (wgz < nz))
+    return jnp.where(valid, win, 0.0), jnp.where(svalid, swin, 0.0)
+
+
+def _tile_masks(gx0, gy0, *, gshape, tile, rim, nzp):
+    """(gx, gy, gz, deep, interior) in global true-grid coordinates for the
+    extended region (kept minimal-rank; comparisons broadcast late)."""
+    nx, ny, nz = gshape
+    tx, ty = tile
+    ex, ey = tx + 2 * rim, ty + 2 * rim
+    gx = gx0 + jax.lax.broadcasted_iota(jnp.int32, (ex, 1, 1), 0)
+    gy = gy0 + jax.lax.broadcasted_iota(jnp.int32, (1, ey, 1), 1)
+    gz = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nzp), 2)
+
+    def in_range(g, n, depth):
+        return (g >= depth) & (g <= n - 1 - depth)
+
+    deep = in_range(gx, nx, 4) & in_range(gy, ny, 4) & in_range(gz, nz, 4)
+    interior = (in_range(gx, nx, 1) & in_range(gy, ny, 1)
+                & in_range(gz, nz, 1))
+    return gx, gy, gz, deep, interior
+
+
+def _scaled_eps_floor(dx, eps_floor, f32):
+    """Raw-difference algebra: the epsilon floor carries the dx^2 scale, but
+    is itself floored at a dtype-safe minimum: reverse mode computes
+    -1/m^2 of the weight denominators, and m as small as 1e-20 would
+    overflow f32 (-> inf -> inf*0 = NaN cotangents).  The raised floor
+    only matters where the field is locally constant to ~1e-6, where the
+    WENO weights are symmetric regardless of epsilon."""
+    return jnp.maximum(eps_floor * (dx * dx), 1e-18 if f32 else 1e-99)
+
+
+def _tile_axis_gsq(win, dx, pos, deep, axis, *, tile, rim, eps_scale,
+                   eps_floor, quirk_y_p5_zero, ratio_floor, recip, roll):
+    """One axis's squared Godunov-selected WENO derivative on the extended
+    region — the expensive part of the step, factored out so the backward
+    kernel can differentiate the three axes ONE AT A TIME (manual
+    rematerialization: jax.checkpoint's remat2 primitive has no Pallas
+    lowering, so the adjoint chains per-axis jax.vjp calls instead,
+    bounding the live temporaries to a single axis's WENO internals)."""
+    tx, ty = tile
+    ex, ey = tx + 2 * rim, ty + 2 * rim
+    f32 = win.dtype != jnp.float64
+    eps_floor_s = _scaled_eps_floor(dx, eps_floor, f32)
+
+    def pval(xoff, yoff):
+        return win[XA - rim + xoff:XA - rim + xoff + ex,
+                   YA - rim + yoff:YA - rim + yoff + ey, :]
+
+    c = pval(0, 0)
+    if axis == 0:
+        def val(off):
+            return pval(off, 0)
+    elif axis == 1:
+        def val(off):
+            return pval(0, off)
+    else:
+        def val(off):
+            # circular in z: wrapped lanes feed masked branches only
+            return roll(c, -off, 2) if off else c
+
+    vm3, vm2, vm1 = val(-3), val(-2), val(-1)
+    vp1, vp2, vp3 = val(1), val(2), val(3)
+    p0 = vm2 - vm3
+    p1 = vm1 - vm2
+    p2 = c - vm1
+    p3 = vp1 - c
+    p4 = vp2 - vp1
+    p5 = vp3 - vp2
+
+    w_m, w_p = _weno5_pair(
+        p0, p1, p2, p3, p4, p5, eps_scale, eps_floor_s, ratio_floor,
+        p5_zero=(quirk_y_p5_zero and axis == 1), _recip=recip)
+    # first-order one-sided fallback is exactly (p2, p3)
+    d_m = jnp.where(deep, w_m, p2)
+    d_p = jnp.where(deep, w_p, p3)
+    return _godunov_axis(d_m, d_p, pos)
+
+
+def _tile_tail(win, swin, dx, h, grad_sq_sum, gx, gy, gz, interior, *,
+               gshape, tile, rim, roll, guard_ad):
+    """Cheap tail of the step: |grad| from the summed squared derivatives,
+    smeared sign, Euler update, ghost BC, crop to the owned tile."""
+    nx, ny, nz = gshape
+    tx, ty = tile
+    ex, ey = tx + 2 * rim, ty + 2 * rim
+    f32 = win.dtype != jnp.float64
+    inv_dx2 = 1.0 / (dx * dx)
+
+    c = win[XA - rim:XA - rim + ex, YA - rim:YA - rim + ey, :]
+    sgn_src = swin[:, YA - rim:YA - rim + ey, :]
+
+    if guard_ad:
+        # double-where: value identical (sqrt(0)=0), cotangent finite
+        nz_mask = grad_sq_sum > 0.0
+        grad_mag = jnp.where(
+            nz_mask,
+            jnp.sqrt(jnp.where(nz_mask, grad_sq_sum, 1.0) * inv_dx2), 0.0)
+    else:
+        # forward-only: grad_sq_sum >= 0 by construction, sqrt(0)=0 exact
+        grad_mag = jnp.sqrt(grad_sq_sum * inv_dx2)
+
+    # smeared sign via one rsqrt: s/sqrt(d2) == s*rsqrt(d2); floor keeps
+    # the degenerate point (s=0, gM=0) at 0 instead of NaN.  The floor is
+    # 1e-20 (not 1e-30) in f32: rsqrt'(m) = -0.5*m^(-3/2) overflows f32
+    # below ~1e-26, poisoning reverse mode at near-zero crossings.
+    d2 = sgn_src * sgn_src + (dx * dx) * grad_mag
+    sgn = sgn_src * jax.lax.rsqrt(jnp.maximum(d2, 1e-20 if f32 else 1e-30))
+    res = jnp.where(interior, c + h * sgn * (1.0 - grad_mag), c)
+
+    # ghost extrapolation BC: boundary cell = clamped-index inner
+    # neighbor + dx (subs.f90:858-897).  Computed on the extended region,
+    # where every clamp source holds an *updated* value; the ring cells'
+    # own (garbage) results are cropped away.
+    def clamp_axis(v, g, n, axis):
+        lo = roll(v, -1, axis)   # v[i+1]
+        hi = roll(v, 1, axis)    # v[i-1]
+        return jnp.where(g == 0, lo, jnp.where(g == n - 1, hi, v))
+
+    inner = clamp_axis(res, gx, nx, 0)
+    inner = clamp_axis(inner, gy, ny, 1)
+    inner = clamp_axis(inner, gz, nz, 2)
+    final = jnp.where(interior, res, inner + dx)
+    return final[rim:rim + tx, rim:rim + ty, :] if rim else final
+
+
+def _tile_step_values(win, swin, dx, h, gx0, gy0, *, gshape, tile, rim,
+                      eps_scale, eps_floor, quirk_y_p5_zero, ratio_floor,
+                      recip, roll, guard_ad=False):
+    """Owned-tile output of one reinit step, as a PURE function of window
+    VALUES — the single source of truth for the step's math, called by the
+    forward kernel on loaded slabs and differentiated piecewise inside the
+    backward kernel (see _tile_axis_gsq / _tile_tail).
+
+    ``win``: (tx+2*XA, ty+2*YA, nzp) phi window; ``swin``: (ex, ty+2*YA, nzp)
+    sign window (x pre-narrowed to the extended ring); ``gx0``/``gy0``:
+    global true-grid coordinate of the extended region's first cell.
+    Returns the (tx, ty, nzp) owned-tile result.
+
+    ``guard_ad=True`` (backward only) adds two protections that do not
+    change the forward value: window sanitization (_sanitize_windows) and
+    the double-where sqrt guard in the tail.
+    """
+    if guard_ad:
+        win, swin = _sanitize_windows(win, swin, gx0, gy0, gshape=gshape,
+                                      rim=rim)
+    gx, gy, gz, deep, interior = _tile_masks(
+        gx0, gy0, gshape=gshape, tile=tile, rim=rim, nzp=win.shape[2])
+    pos = swin[:, YA - rim:YA - rim + tile[1] + 2 * rim, :] > 0.0
+    akw = dict(tile=tile, rim=rim, eps_scale=eps_scale, eps_floor=eps_floor,
+               quirk_y_p5_zero=quirk_y_p5_zero, ratio_floor=ratio_floor,
+               recip=recip, roll=roll)
+    grad_sq_sum = _tile_axis_gsq(win, dx, pos, deep, 0, **akw)
+    for axis in (1, 2):
+        grad_sq_sum = grad_sq_sum + _tile_axis_gsq(win, dx, pos, deep, axis,
+                                                   **akw)
+    return _tile_tail(win, swin, dx, h, grad_sq_sum, gx, gy, gz, interior,
+                      gshape=gshape, tile=tile, rim=rim, roll=roll,
+                      guard_ad=guard_ad)
+
+
 def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
-                 ratio_floor, precise=True, ring=True):
+                 ratio_floor, precise=True, ring=True, banded=False):
     """Padded-in / padded-out kernel.  Both phi and out use the
     (nxp + 2*XA, nyp + 2*YA, nzp) layout; out aprons are left unwritten.
     ``nzp`` is the lane-aligned z extent; masks use the TRUE ``gshape``.
@@ -187,7 +374,12 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
     ``ring=False`` computes on the bare tile (no +1 BC ring, ~22% less VPU
     work): sound ONLY when no global face lands on the first row/col of a
     tile (nx % tx != 1 and ny % ty != 1 — see _pick_tile), so every BC
-    clamp source shares the tile with its boundary cell."""
+    clamp source shares the tile with its boundary cell.
+
+    ``banded=True`` adds an SMEM (nbx, nby) int32 activity mask input after
+    the scalar args; inactive tiles skip the VPU step entirely and pass the
+    owned region through unchanged — the TPU analogue of the reference's
+    narrow-band restriction (subs.f90:178-207, set3d.f90:402,420)."""
     nx, ny, nz = gshape           # TRUE grid shape (pre-padding)
     tx, ty = tile
     recip = _recip_exact if precise else _recip_fast
@@ -195,8 +387,12 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
     ex, ey = tx + 2 * rim, ty + 2 * rim
     wx, wy = tx + 2 * XA, ty + 2 * YA
 
-    def kernel(dx_ref, h_ref, ox_ref, oy_ref, phi_hbm, sign_hbm, out_hbm,
-               pslab, sslab, oslab, in_sems, out_sems):
+    def kernel(dx_ref, h_ref, ox_ref, oy_ref, *rest):
+        if banded:
+            active_ref = rest[0]
+            rest = rest[1:]
+        (phi_hbm, sign_hbm, out_hbm,
+         pslab, sslab, oslab, in_sems, out_sems) = rest
         bi = pl.program_id(0)
         bj = pl.program_id(1)
         nby = pl.num_programs(1)
@@ -245,93 +441,28 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
 
         dx = dx_ref[0, 0]
         h = h_ref[0, 0]
-        inv_dx2 = 1.0 / (dx * dx)
-        # raw-difference algebra: epsilon floor carries the dx^2 scale
-        eps_floor_s = eps_floor * (dx * dx)
-
-        def pval(xoff, yoff):
-            """phi window values on the compute region, shifted."""
-            return pslab[slot,
-                         XA - rim + xoff:XA - rim + xoff + ex,
-                         YA - rim + yoff:YA - rim + yoff + ey, :]
-
-        c = pval(0, 0)
-        sgn_src = sslab[slot, :, YA - rim:YA - rim + ey, :]
-
-        # global true-grid coordinates of the extended region's cells, kept
-        # minimal-rank (broadcast late: comparisons stay 1D until combined).
         # ox/oy carry this block's global origin (0 single-device; the
         # shard's offset under domain decomposition).
-        gx = (ox_ref[0, 0] + bi * tx - rim
-              + jax.lax.broadcasted_iota(jnp.int32, (ex, 1, 1), 0))
-        gy = (oy_ref[0, 0] + bj * ty - rim
-              + jax.lax.broadcasted_iota(jnp.int32, (1, ey, 1), 1))
-        gz = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nzp), 2)
+        gx0 = ox_ref[0, 0] + bi * tx - rim
+        gy0 = oy_ref[0, 0] + bj * ty - rim
 
-        def in_range(g, n, depth):
-            return (g >= depth) & (g <= n - 1 - depth)
+        win = pslab[slot]
+        swin = sslab[slot]
 
-        deep = (in_range(gx, nx, 4) & in_range(gy, ny, 4)
-                & in_range(gz, nz, 4))
-        interior = (in_range(gx, nx, 1) & in_range(gy, ny, 1)
-                    & in_range(gz, nz, 1))
+        def compute():
+            return _tile_step_values(
+                win, swin, dx, h, gx0, gy0, gshape=gshape, tile=tile,
+                rim=rim, eps_scale=eps_scale, eps_floor=eps_floor,
+                quirk_y_p5_zero=quirk_y_p5_zero, ratio_floor=ratio_floor,
+                recip=recip, roll=_roll)
 
-        pos = sgn_src > 0.0
-        grad_sq_sum = None
-        for axis in range(3):
-            if axis == 0:
-                def val(off):
-                    return pval(off, 0)
-            elif axis == 1:
-                def val(off):
-                    return pval(0, off)
-            else:
-                def val(off):
-                    # circular in z: wrapped lanes feed masked branches only
-                    return _roll(c, -off, 2) if off else c
-
-            vm3, vm2, vm1 = val(-3), val(-2), val(-1)
-            vp1, vp2, vp3 = val(1), val(2), val(3)
-            p0 = vm2 - vm3
-            p1 = vm1 - vm2
-            p2 = c - vm1
-            p3 = vp1 - c
-            p4 = vp2 - vp1
-            p5 = vp3 - vp2
-
-            w_m, w_p = _weno5_pair(
-                p0, p1, p2, p3, p4, p5, eps_scale, eps_floor_s, ratio_floor,
-                p5_zero=(quirk_y_p5_zero and axis == 1), _recip=recip)
-            # first-order one-sided fallback is exactly (p2, p3)
-            d_m = jnp.where(deep, w_m, p2)
-            d_p = jnp.where(deep, w_p, p3)
-            g_axis = _godunov_axis(d_m, d_p, pos)
-            grad_sq_sum = g_axis if grad_sq_sum is None \
-                else grad_sq_sum + g_axis
-
-        # forward-only kernel: grad_sq_sum >= 0 by construction, sqrt(0)=0
-        # is exact, and the VJP comes from the jnp path — no NaN-guard selects
-        grad_mag = jnp.sqrt(grad_sq_sum * inv_dx2)
-
-        # smeared sign via one rsqrt: s/sqrt(d2) == s*rsqrt(d2); floor keeps
-        # the degenerate point (s=0, gM=0) at 0 instead of NaN
-        d2 = sgn_src * sgn_src + (dx * dx) * grad_mag
-        sgn = sgn_src * jax.lax.rsqrt(jnp.maximum(d2, 1e-30))
-        res = jnp.where(interior, c + h * sgn * (1.0 - grad_mag), c)
-
-        # ghost extrapolation BC: boundary cell = clamped-index inner
-        # neighbor + dx (subs.f90:858-897).  Computed on the extended region,
-        # where every clamp source holds an *updated* value; the ring cells'
-        # own (garbage) results are cropped away.
-        def clamp_axis(v, g, n, axis):
-            lo = _roll(v, -1, axis)   # v[i+1]
-            hi = _roll(v, 1, axis)    # v[i-1]
-            return jnp.where(g == 0, lo, jnp.where(g == n - 1, hi, v))
-
-        inner = clamp_axis(res, gx, nx, 0)
-        inner = clamp_axis(inner, gy, ny, 1)
-        inner = clamp_axis(inner, gz, nz, 2)
-        final = jnp.where(interior, res, inner + dx)
+        if banded:
+            # inactive tile: owned cells unchanged this step (narrow band)
+            out_tile = jax.lax.cond(
+                active_ref[bi, bj] > 0, compute,
+                lambda: win[XA:XA + tx, YA:YA + ty, :])
+        else:
+            out_tile = compute()
 
         # write-back: wait for this slot's previous write, then start ours;
         # drain both slots on the last block.
@@ -339,8 +470,7 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
         def _():
             out_dma(slot, lin - 2).wait()
 
-        oslab[slot] = (final[rim:rim + tx, rim:rim + ty, :] if rim
-                       else final)
+        oslab[slot] = out_tile
         out_dma(slot, lin).start()
 
         @pl.when(lin == n_blocks - 1)
@@ -401,18 +531,263 @@ def crop_from_pallas(phi_pad, gshape):
     return phi_pad[XA:XA + nx, YA:YA + ny, :nz]
 
 
+def pad_zero_for_pallas(g, tile):
+    """Zero-pad a cotangent into the padded layout: junk outputs (aprons,
+    round-up region) must receive ZERO cotangent, not edge copies."""
+    nx, ny, nz = g.shape
+    tx, ty = tile
+    nxp, nyp = _ceil_to(nx, tx), _ceil_to(ny, ty)
+    nzp = _ceil_to(nz, ZALIGN)
+    pad = ((XA, XA + nxp - nx), (YA, YA + nyp - ny), (0, nzp - nz))
+    return jnp.pad(g, pad)
+
+
+def tile_activity(phi_pad, gshape, tile, dx, radius_cells, margin_cells=0.0):
+    """(nbx, nby) int32 narrow-band activity mask from a padded iterate.
+
+    A tile is active when the min |phi| over its own cells OR any
+    neighboring tile's cells (the kernel window reaches XA/YA cells into
+    neighbors) is below ``(radius_cells + margin_cells) * dx``.  Cells
+    outside the true grid are ignored.  The TPU analogue of the
+    reference's narrow-band masks (subs.f90:178-207): work is skipped at
+    tile granularity instead of cell granularity, keeping the kernel's
+    memory layout and vector shapes static.
+    """
+    nx, ny, nz = gshape
+    tx, ty = tile
+    nxp = phi_pad.shape[0] - 2 * XA
+    nyp = phi_pad.shape[1] - 2 * YA
+    nzp = phi_pad.shape[2]
+    owned = jax.lax.slice(phi_pad, (XA, YA, 0), (XA + nxp, YA + nyp, nzp))
+    a = jnp.abs(owned)
+    big = jnp.asarray(jnp.inf, a.dtype)
+    ix = jnp.arange(nxp) < nx
+    iy = jnp.arange(nyp) < ny
+    iz = jnp.arange(nzp) < nz
+    valid = (ix[:, None, None] & iy[None, :, None] & iz[None, None, :])
+    a = jnp.where(valid, a, big)
+    m = a.reshape(nxp // tx, tx, nyp // ty, ty, nzp).min(axis=(1, 3, 4))
+    # dilate one tile in x and y: a neighbor's band cells can sit inside
+    # this tile's stencil window (aprons are XA <= tx, YA <= ty wide)
+    mpad = jnp.pad(m, 1, constant_values=jnp.inf)
+    m = jnp.stack([mpad[i:i + m.shape[0], j:j + m.shape[1]]
+                   for i in range(3) for j in range(3)]).min(axis=0)
+    thresh = (radius_cells + margin_cells) * dx
+    return (m < thresh).astype(jnp.int32)
+
+
+# ----------------------------- backward kernel -----------------------------
+
+def _pick_bwd_tile(pad_shape, tile):
+    """Backward-kernel tile: must divide the compute extents of the padded
+    layout built with the FORWARD tile (the scan backward reads forward-tile
+    trajectory arrays in place).  The adjoint holds ~3x the forward's live
+    temporaries, so the y tile shrinks to bound register-allocator spills
+    within VMEM."""
+    tx, ty = tile
+    nyp = pad_shape[1] - 2 * YA
+    tyb = 16 if nyp % 16 == 0 else 8
+    if nyp % tyb:
+        tyb = ty
+    return (tx, tyb)
+
+def _make_bwd_kernel(gshape, tile, nzp, eps_scale, eps_floor,
+                     quirk_y_p5_zero, ratio_floor, ring):
+    """Adjoint of the fused step, as a second Pallas kernel.
+
+    Per tile: load the same phi/sign windows as the forward plus the
+    owned-tile cotangent g, evaluate ``jax.vjp`` of
+    :func:`_tile_step_values` (traced at kernel-build time — Mosaic
+    compiles the exact reverse-mode program), and scatter-accumulate the
+    window-shaped phi/sign cotangents into HBM.  Overlapping-window
+    accumulation is safe because the TPU Pallas grid executes sequentially
+    on the core and the read-add-write DMAs are fully blocking.  Scalar
+    cotangents (dx, h) accumulate in SMEM scratch across grid steps.
+    """
+    nx, ny, nz = gshape
+    tx, ty = tile
+    rim = 1 if ring else 0
+    ex, ey = tx + 2 * rim, ty + 2 * rim
+    wx, wy = tx + 2 * XA, ty + 2 * YA
+
+    def kernel(dx_ref, h_ref, ox_ref, oy_ref,
+               phi_hbm, sign_hbm, g_hbm, zcp_hbm, zcs_hbm,
+               cotphi_hbm, cotsign_hbm, cotdx_ref, coth_ref,
+               pwin, swin, gwin, accwin_p, accwin_s, acc, sems):
+        bi = pl.program_id(0)
+        bj = pl.program_id(1)
+        nby = pl.num_programs(1)
+        lin = bi * nby + bj
+        n_blocks = pl.num_programs(0) * nby
+
+        ld_p = pltpu.make_async_copy(
+            phi_hbm.at[pl.ds(bi * tx, wx), pl.ds(bj * ty, wy), :],
+            pwin, sems.at[0])
+        ld_s = pltpu.make_async_copy(
+            sign_hbm.at[pl.ds(bi * tx + XA - rim, ex), pl.ds(bj * ty, wy), :],
+            swin, sems.at[1])
+        ld_g = pltpu.make_async_copy(
+            g_hbm.at[pl.ds(XA + bi * tx, tx), pl.ds(YA + bj * ty, ty), :],
+            gwin, sems.at[2])
+        ld_p.start()
+        ld_s.start()
+        ld_g.start()
+        ld_p.wait()
+        ld_s.wait()
+        ld_g.wait()
+
+        dx = dx_ref[0, 0]
+        h = h_ref[0, 0]
+        gx0 = ox_ref[0, 0] + bi * tx - rim
+        gy0 = oy_ref[0, 0] + bj * ty - rim
+
+        def f(w, s, d, hh):
+            return _tile_step_values(
+                w, s, d, hh, gx0, gy0, gshape=gshape, tile=tile, rim=rim,
+                eps_scale=eps_scale, eps_floor=eps_floor,
+                quirk_y_p5_zero=quirk_y_p5_zero, ratio_floor=ratio_floor,
+                recip=_recip_exact, roll=_roll_jnp, guard_ad=True)
+
+        _, vjp = jax.vjp(f, pwin[...], swin[...], dx, h)
+        cw, cs, cdx, ch = vjp(gwin[...])
+
+        @pl.when(lin == 0)
+        def _():
+            acc[0] = jnp.zeros((), dx.dtype)
+            acc[1] = jnp.zeros((), dx.dtype)
+
+        acc[0] += cdx
+        acc[1] += ch
+        cotdx_ref[0, 0] = acc[0]
+        coth_ref[0, 0] = acc[1]
+
+        # scatter-accumulate: blocking read-add-write on the overlapping
+        # windows (grid is sequential -> no write hazard between tiles)
+        rd_p = pltpu.make_async_copy(
+            cotphi_hbm.at[pl.ds(bi * tx, wx), pl.ds(bj * ty, wy), :],
+            accwin_p, sems.at[0])
+        rd_s = pltpu.make_async_copy(
+            cotsign_hbm.at[pl.ds(bi * tx + XA - rim, ex),
+                           pl.ds(bj * ty, wy), :],
+            accwin_s, sems.at[1])
+        rd_p.start()
+        rd_s.start()
+        rd_p.wait()
+        rd_s.wait()
+        accwin_p[...] = accwin_p[...] + cw
+        accwin_s[...] = accwin_s[...] + cs
+        wr_p = pltpu.make_async_copy(
+            accwin_p,
+            cotphi_hbm.at[pl.ds(bi * tx, wx), pl.ds(bj * ty, wy), :],
+            sems.at[0])
+        wr_s = pltpu.make_async_copy(
+            accwin_s,
+            cotsign_hbm.at[pl.ds(bi * tx + XA - rim, ex),
+                           pl.ds(bj * ty, wy), :],
+            sems.at[1])
+        wr_p.start()
+        wr_s.start()
+        wr_p.wait()
+        wr_s.wait()
+
+    return kernel, (wx, wy), ex
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "gshape", "eps_scale", "eps_floor", "quirk_y_p5_zero", "tile",
+    "interpret"))
+def _pallas_bwd_padded(phi_pad, sign_pad, g_pad, dx, h, *, gshape, eps_scale,
+                       eps_floor, quirk_y_p5_zero, tile, interpret,
+                       offsets=None):
+    """VJP of :func:`_pallas_step_padded` w.r.t. (phi_pad, sign_pad, dx, h).
+
+    ``g_pad`` must be ZERO at apron/round-up positions
+    (:func:`pad_zero_for_pallas`); the returned cotangents are then exactly
+    zero there too, so cropping is the exact transpose of the entry pad.
+    """
+    nx, ny, nz = gshape
+    tx, ty = tile
+    nxp = phi_pad.shape[0] - 2 * XA
+    nyp = phi_pad.shape[1] - 2 * YA
+    nzp = phi_pad.shape[2]
+    if offsets is None:
+        offsets = (jnp.int32(0), jnp.int32(0))
+    ratio_floor = 1e-70 if phi_pad.dtype == jnp.float64 else 1e-7
+    ring = _needs_ring(gshape, tile)
+    kernel, (wx, wy), ex = _make_bwd_kernel(
+        gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
+        ratio_floor, ring)
+
+    scalar_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                               memory_space=pltpu.SMEM)
+    itemsize = phi_pad.dtype.itemsize
+    slab_bytes = (3 * wx * wy + 2 * ex * wy + tx * ty) * nzp * itemsize
+    ext_bytes = ex * (ty + 2) * nzp * itemsize
+    # The adjoint's register-allocator spill slots measure ~260 ext-sized
+    # temporaries at peak (vs ~70 for the forward); budget generously and
+    # cap at the hardware scoped-vmem max — the bwd tile is already sized
+    # down by _pick_bwd_tile so the real need stays well under the cap.
+    vmem_limit = min(110 * 1024 * 1024, int(slab_bytes + 512 * ext_bytes))
+    zeros_p = jnp.zeros_like(phi_pad)
+    zeros_s = jnp.zeros_like(sign_pad)
+    scalar_shape = jax.ShapeDtypeStruct((1, 1), phi_pad.dtype)
+    smem_out = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                            memory_space=pltpu.SMEM)
+    cot_phi, cot_sign, cot_dx, cot_h = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct(phi_pad.shape, phi_pad.dtype),
+                   jax.ShapeDtypeStruct(sign_pad.shape, sign_pad.dtype),
+                   scalar_shape, scalar_shape),
+        grid=(nxp // tx, nyp // ty),
+        in_specs=[
+            scalar_spec, scalar_spec, scalar_spec, scalar_spec,
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY),
+                   smem_out, smem_out),
+        input_output_aliases={7: 0, 8: 1},
+        scratch_shapes=[
+            pltpu.VMEM((wx, wy, nzp), phi_pad.dtype),
+            pltpu.VMEM((ex, wy, nzp), phi_pad.dtype),
+            pltpu.VMEM((tx, ty, nzp), phi_pad.dtype),
+            pltpu.VMEM((wx, wy, nzp), phi_pad.dtype),
+            pltpu.VMEM((ex, wy, nzp), phi_pad.dtype),
+            pltpu.SMEM((2,), phi_pad.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=vmem_limit,
+        ),
+        interpret=interpret,
+    )(jnp.reshape(dx, (1, 1)), jnp.reshape(h, (1, 1)),
+      jnp.reshape(jnp.asarray(offsets[0], jnp.int32), (1, 1)),
+      jnp.reshape(jnp.asarray(offsets[1], jnp.int32), (1, 1)),
+      phi_pad, sign_pad, g_pad, zeros_p, zeros_s)
+    return cot_phi, cot_sign, cot_dx[0, 0], cot_h[0, 0]
+
+
 @functools.partial(jax.jit, static_argnames=(
     "gshape", "eps_scale", "eps_floor", "quirk_y_p5_zero", "tile",
     "interpret", "precise"))
 def _pallas_step_padded(phi_pad, sign_pad, dx, h, *, gshape, eps_scale,
                         eps_floor, quirk_y_p5_zero, tile, interpret,
-                        precise=True, offsets=None):
+                        precise=True, offsets=None, active=None):
     """One step on padded-layout arrays; output aprons are undefined.
 
     ``gshape`` is the TRUE GLOBAL grid shape (mask bounds).  ``offsets``
     (ox, oy) is this block's global origin — (0, 0) single-device; the
     shard offset when the padded array is one halo-exchanged block of a
     domain-decomposed grid (parallel/sharded.py).
+
+    ``active`` (optional, (nbx, nby) int32) enables narrow-band execution:
+    tiles with ``active == 0`` skip the step and keep their owned cells
+    unchanged (see :func:`tile_activity`).
     """
     nx, ny, nz = gshape
     tx, ty = tile
@@ -424,9 +799,10 @@ def _pallas_step_padded(phi_pad, sign_pad, dx, h, *, gshape, eps_scale,
         offsets = (jnp.int32(0), jnp.int32(0))
     ratio_floor = 1e-70 if phi_pad.dtype == jnp.float64 else 1e-7
     ring = _needs_ring(gshape, tile)
+    banded = active is not None
     kernel, (wx, wy), ex = _make_kernel(
         gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
-        ratio_floor, precise=precise or interpret, ring=ring)
+        ratio_floor, precise=precise or interpret, ring=ring, banded=banded)
 
     scalar_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM)
@@ -438,18 +814,26 @@ def _pallas_step_padded(phi_pad, sign_pad, dx, h, *, gshape, eps_scale,
     vmem_limit = min(100 * 1024 * 1024, int(slab_bytes + 70 * ext_bytes))
     int_scalar = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                               memory_space=pltpu.SMEM)
+    in_specs = [
+        scalar_spec,
+        scalar_spec,
+        int_scalar,
+        int_scalar,
+    ]
+    args = [jnp.reshape(dx, (1, 1)), jnp.reshape(h, (1, 1)),
+            jnp.reshape(jnp.asarray(offsets[0], jnp.int32), (1, 1)),
+            jnp.reshape(jnp.asarray(offsets[1], jnp.int32), (1, 1))]
+    if banded:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(jnp.asarray(active, jnp.int32))
+    in_specs += [pl.BlockSpec(memory_space=pl.ANY),
+                 pl.BlockSpec(memory_space=pl.ANY)]
+    args += [phi_pad, sign_pad]
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(phi_pad.shape, phi_pad.dtype),
         grid=(nxp // tx, nyp // ty),
-        in_specs=[
-            scalar_spec,
-            scalar_spec,
-            int_scalar,
-            int_scalar,
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, wx, wy, nzp), phi_pad.dtype),
@@ -463,10 +847,7 @@ def _pallas_step_padded(phi_pad, sign_pad, dx, h, *, gshape, eps_scale,
             vmem_limit_bytes=vmem_limit,
         ),
         interpret=interpret,
-    )(jnp.reshape(dx, (1, 1)), jnp.reshape(h, (1, 1)),
-      jnp.reshape(jnp.asarray(offsets[0], jnp.int32), (1, 1)),
-      jnp.reshape(jnp.asarray(offsets[1], jnp.int32), (1, 1)),
-      phi_pad, sign_pad)
+    )(*args)
 
 
 # ------------------------------ public API ------------------------------
@@ -516,11 +897,17 @@ def _fused_fwd(phi, sign_src, dx, h, eps_scale, eps_floor, quirk_y_p5_zero,
 def _fused_bwd(eps_scale, eps_floor, quirk_y_p5_zero, tile, interpret,
                res, g):
     phi, sign_src, dx, h = res
-    _, vjp = jax.vjp(
-        lambda p, s, d, hh: _reinit_step_jnp(
-            p, s, d, hh, eps_scale, eps_floor, quirk_y_p5_zero),
-        phi, sign_src, dx, h)
-    return vjp(g)
+    gshape = phi.shape
+    phi_pad = pad_for_pallas(phi, tile)
+    sign_pad = pad_for_pallas(sign_src, tile)
+    g_pad = pad_zero_for_pallas(g, tile)
+    btile = _pick_bwd_tile(phi_pad.shape, tile)
+    cp, cs, cdx, ch = _pallas_bwd_padded(
+        phi_pad, sign_pad, g_pad, dx, h, gshape=gshape, eps_scale=eps_scale,
+        eps_floor=eps_floor, quirk_y_p5_zero=quirk_y_p5_zero, tile=btile,
+        interpret=interpret)
+    return (crop_from_pallas(cp, gshape), crop_from_pallas(cs, gshape),
+            cdx, ch)
 
 
 _fused_step.defvjp(_fused_fwd, _fused_bwd)
@@ -575,19 +962,45 @@ def _fused_scan_fwd(phi0, dx, h, steps, eps_scale, eps_floor,
 
 def _fused_scan_bwd(steps, eps_scale, eps_floor, quirk_y_p5_zero, tile,
                     interpret, precise, res, g):
+    """Reverse scan of the Pallas adjoint kernel.
+
+    Residual is phi0 only; the padded-iterate trajectory is RECOMPUTED with
+    the fast forward kernel (steps x one padded array of HBM — the
+    FLOPs-for-memory trade of jax.checkpoint applied once at scan level),
+    then the backward kernel runs once per step in reverse, carrying the
+    phi cotangent and accumulating sign/dx/h cotangents.
+    """
     phi0, dx, h = res
+    gshape = phi0.shape
+    phi_pad0 = pad_for_pallas(phi0, tile)
+    sign_pad = phi_pad0
+    kw = dict(gshape=gshape, eps_scale=eps_scale, eps_floor=eps_floor,
+              quirk_y_p5_zero=quirk_y_p5_zero, interpret=interpret)
 
-    def jnp_scan(p0, d, hh):
-        def step(p, _):
-            new = jax.checkpoint(
-                lambda q: _reinit_step_jnp(q, p0, d, hh, eps_scale,
-                                           eps_floor, quirk_y_p5_zero))(p)
-            return new, None
-        out, _ = jax.lax.scan(step, p0, None, length=steps)
-        return out
+    def fstep(p, _):
+        out = _pallas_step_padded(p, sign_pad, dx, h, precise=precise,
+                                  tile=tile, **kw)
+        return out, p                      # stash each step's INPUT iterate
 
-    _, vjp = jax.vjp(jnp_scan, phi0, dx, h)
-    return vjp(g)
+    _, traj = jax.lax.scan(fstep, phi_pad0, None, length=steps)
+
+    g_pad = pad_zero_for_pallas(g, tile)
+    zero_s = jnp.zeros_like(phi_pad0)
+    zero = jnp.zeros((), phi0.dtype)
+    btile = _pick_bwd_tile(phi_pad0.shape, tile)
+
+    def bstep(carry, p_in):
+        gp, cs_acc, cdx_acc, ch_acc = carry
+        cp, cs, cdx, ch = _pallas_bwd_padded(p_in, sign_pad, gp, dx, h,
+                                             tile=btile, **kw)
+        return (cp, cs_acc + cs, cdx_acc + cdx, ch_acc + ch), None
+
+    (gp, cs_acc, cdx_acc, ch_acc), _ = jax.lax.scan(
+        bstep, (g_pad, zero_s, zero, zero), traj, reverse=True)
+    # sign source IS phi_pad0: both cotangent paths land on phi0; apron
+    # cotangents are exactly zero (guard_ad), so cropping == pad transpose
+    cot_phi0 = crop_from_pallas(gp, gshape) + crop_from_pallas(cs_acc, gshape)
+    return cot_phi0, cdx_acc, ch_acc
 
 
 _fused_scan.defvjp(_fused_scan_fwd, _fused_scan_bwd)
@@ -600,7 +1013,9 @@ def reinit_scan_pallas(phi0, dx, h, steps: int, *, eps_scale=1e-6,
     at entry, one crop at exit, zero layout traffic per step.  Sign source
     is frozen at phi0 (Sussman et al.), like solvers.reinit.
 
-    Differentiable: backward replays the jnp step under jax.checkpoint.
+    Differentiable: the backward pass recomputes the padded trajectory with
+    the forward kernel, then runs the fused Pallas ADJOINT kernel
+    (:func:`_pallas_bwd_padded`) once per step in reverse.
     """
     phi0 = jnp.asarray(phi0)
     eps_floor, tile, interpret = _resolve(phi0, eps_floor, tile, interpret)

@@ -149,22 +149,47 @@ def reinit_step_local_pallas(phi_l, sign_l, dx, h, *, gshape, mesh_shape,
     halo-exchanged block IS the kernel's padded layout: x apron XA, y apron
     YA, plus the shard's global origin fed to the kernel's masks.
     """
+    return reinit_k_steps_local_pallas(
+        phi_l, sign_l, dx, h, 1, ext=(0, 0), gshape=gshape,
+        mesh_shape=mesh_shape, tile=tile, eps_scale=eps_scale,
+        eps_floor=eps_floor, quirk_y_p5_zero=quirk_y_p5_zero,
+        precise=precise, interpret=interpret)
+
+
+def reinit_k_steps_local_pallas(phi_l, sign_l, dx, h, k, *, ext, gshape,
+                                mesh_shape, tile, eps_scale=1e-6,
+                                eps_floor=None, quirk_y_p5_zero=False,
+                                precise=False, interpret=False):
+    """``k`` fused-kernel reinit steps per ONE halo exchange — the
+    composition of halo-deep pipelining with the Pallas path.
+
+    The exchange is widened by ``ext`` = (ext_x, ext_y) extra compute cells
+    per side (each a multiple of the kernel tile, >= 3*(k-1)): step 1 is
+    exact on the whole widened extent (aprons hold exchanged real data);
+    every later step consumes 3 cells of validity per side (its aprons are
+    the previous call's unwritten garbage), so after k steps the owned
+    block is exact — the same validity-shrinking argument as the jnp
+    ``reinit_k_steps_local``, at kernel-tile granularity.
+    """
     from ..ops import weno_pallas as wp
     if eps_floor is None:
         from ..ops.weno import default_eps_floor
         eps_floor = default_eps_floor(phi_l.dtype)
     b = phi_l.shape                      # (bx, by, nzp)
     bx, by = b[0], b[1]
-    ox = jax.lax.axis_index(AXIS_NAMES[0]) * bx
-    oy = jax.lax.axis_index(AXIS_NAMES[1]) * by
-    widths = (wp.XA, wp.YA, 0)
+    ext_x, ext_y = ext
+    ox = jax.lax.axis_index(AXIS_NAMES[0]) * bx - ext_x
+    oy = jax.lax.axis_index(AXIS_NAMES[1]) * by - ext_y
+    widths = (wp.XA + ext_x, wp.YA + ext_y, 0)
     pad = halo_exchange(phi_l, widths, mesh_shape)
     spad = halo_exchange(sign_l, widths, mesh_shape)
-    out_pad = wp._pallas_step_padded(
-        pad, spad, dx, h, gshape=gshape, eps_scale=eps_scale,
-        eps_floor=eps_floor, quirk_y_p5_zero=quirk_y_p5_zero, tile=tile,
-        interpret=interpret, precise=precise, offsets=(ox, oy))
-    return out_pad[wp.XA:wp.XA + bx, wp.YA:wp.YA + by, :]
+    for _ in range(int(k)):
+        pad = wp._pallas_step_padded(
+            pad, spad, dx, h, gshape=gshape, eps_scale=eps_scale,
+            eps_floor=eps_floor, quirk_y_p5_zero=quirk_y_p5_zero, tile=tile,
+            interpret=interpret, precise=precise, offsets=(ox, oy))
+    return pad[wp.XA + ext_x:wp.XA + ext_x + bx,
+               wp.YA + ext_y:wp.YA + ext_y + by, :]
 
 
 def minmax_step_local_pallas(phi_l, dx, h1, band_radius, threshold, *,
@@ -254,9 +279,10 @@ class ShardedLevelSet:
             def body(state):
                 p, _, n, _, _ = state
                 if self.use_pallas:
-                    new = reinit_step_local_pallas(
-                        p, sign_src, dx, h, tile=self._ptile,
-                        interpret=self._pinterp, **self._step_kw)
+                    new = reinit_k_steps_local_pallas(
+                        p, sign_src, dx, h, k, ext=self._pext,
+                        tile=self._ptile, interpret=self._pinterp,
+                        **self._step_kw)
                 elif k == 1:
                     new = reinit_step_local(p, sign_src, dx, h,
                                             **self._step_kw)
@@ -320,30 +346,76 @@ class ShardedLevelSet:
     def _setup_pallas(self, use_pallas, pallas_interpret, eps_floor):
         """Resolve whether local block steps run the fused Pallas kernel.
 
-        Requirements: 2D (x, y) decomposition (z whole per shard), k == 1,
-        and block sizes divisible by the kernel tile.  ``auto`` enables it
-        on real TPU; explicit True uses interpret mode off-TPU (tests)."""
+        Requirements: 2D (x, y) decomposition (z whole per shard) and block
+        sizes divisible by the kernel tile.  ``steps_per_exchange > 1``
+        composes with the kernel by widening the exchange with
+        tile-multiple extra compute cells (``reinit_k_steps_local_pallas``).
+        ``auto`` enables it on real TPU; explicit True uses interpret mode
+        off-TPU (tests).  Every requested-but-denied route emits a
+        structured ``pallas_fallback`` log event with the reasons.
+        """
+        from ..utils.logging import log_event
         self.use_pallas = False
         self._ptile = None
         self._pinterp = False
+        self._pext = (0, 0)
         self.nzp = self.gshape[2]
         # Key off the mesh's device platform, not the process default
         # backend: under a tunneled TPU + forced virtual CPU devices they
         # differ, and Pallas must compile for the devices that run it.
         on_tpu = self.mesh.devices.flat[0].platform == "tpu"
         want = (on_tpu if use_pallas == "auto" else bool(use_pallas))
-        if not want or self.k != 1 or self.mesh_shape[2] != 1:
-            return
-        from ..ops import weno_pallas as wp
-        if min(self.gshape) < 8:
+        if not want:
             return
         from ..ops import minmax_pallas as mp
+        from ..ops import weno_pallas as wp
+        reasons = []
+        if self.mesh_shape[2] != 1:
+            reasons.append(
+                f"mesh z-axis is sharded ({self.mesh_shape}): the kernel "
+                "keeps z whole per shard (lane-roll z stencils)")
+        if min(self.gshape) < 8:
+            reasons.append(f"grid {self.gshape} has an axis < 8")
+        if reasons:
+            if use_pallas != "auto":
+                log_event("pallas_fallback", requested=str(use_pallas),
+                          reasons=reasons)
+            return
         bx = self.gshape[0] // self.mesh_shape[0]
         by = self.gshape[1] // self.mesh_shape[1]
         nzp = -(-self.gshape[2] // wp.ZALIGN) * wp.ZALIGN
         tx, ty = wp._pick_tile((bx, by, nzp))
+        if self.k > 1 and by % 16 == 0:
+            # smaller y tile keeps the tile-multiple extra halo (below)
+            # narrow enough to fit in a single-hop exchange
+            ty = min(ty, 16)
         mtx, mty = mp._pick_tile((bx, by, nzp))
-        if bx % tx or by % ty or bx % mtx or by % mty:
+        if bx % tx or by % ty:
+            reasons.append(f"block {bx}x{by} not divisible by reinit "
+                           f"kernel tile {tx}x{ty}")
+        if bx % mtx or by % mty:
+            reasons.append(f"block {bx}x{by} not divisible by minmax "
+                           f"kernel tile {mtx}x{mty}")
+        if reasons:
+            if use_pallas != "auto":
+                log_event("pallas_fallback", requested=str(use_pallas),
+                          reasons=reasons)
+            return
+        if self.k > 1:
+            # extra compute halo per side: >= 3*(k-1), tile-multiple so the
+            # widened extent stays tile-divisible
+            need = 3 * (self.k - 1)
+            self._pext = (-(-need // tx) * tx, -(-need // ty) * ty)
+        exch = (wp.XA + self._pext[0], wp.YA + self._pext[1])
+        if (self.mesh_shape[0] > 1 and bx < exch[0]) or \
+                (self.mesh_shape[1] > 1 and by < exch[1]):
+            reasons.append(
+                f"block {bx}x{by} smaller than the exchange width {exch} "
+                f"(k={self.k}): single-hop halo exchange cannot reach past "
+                "the adjacent shard")
+            if use_pallas != "auto":
+                log_event("pallas_fallback", requested=str(use_pallas),
+                          reasons=reasons)
             return
         self.use_pallas = True
         self._ptile = (tx, ty)

@@ -95,10 +95,22 @@ def run_mesh(mesh: SurfaceMesh, config: LevelSetConfig, *,
               mesh=list(cfg.mesh_shape) if cfg.mesh_shape else None)
 
     # --- inside/outside classification (set3d.f90:196-268) ---
+    smesh = None
+    if cfg.mesh_shape:
+        from ..parallel.mesh import make_mesh
+        smesh = make_mesh(tuple(cfg.mesh_shape))
     if cfg.init_mode == "distance":
-        phi0 = signed_distance_init(
-            grid, jnp.asarray(mesh.vertices, dtype),
-            jnp.asarray(mesh.elements), dtype=dtype)
+        if smesh is not None:
+            # sharded init: grid points block-sharded over the mesh; the
+            # full grid never lands on one device (ops/init_sign.py)
+            from ..ops.init_sign import signed_distance_init_sharded
+            phi0 = signed_distance_init_sharded(
+                grid, jnp.asarray(mesh.vertices, dtype),
+                jnp.asarray(mesh.elements), smesh, dtype=dtype)
+        else:
+            phi0 = signed_distance_init(
+                grid, jnp.asarray(mesh.vertices, dtype),
+                jnp.asarray(mesh.elements), dtype=dtype)
     else:
         phi0 = initialize_sign_field(
             grid, jnp.asarray(mesh.vertices, dtype),
@@ -110,10 +122,9 @@ def run_mesh(mesh: SurfaceMesh, config: LevelSetConfig, *,
     # Three execution strategies for the two grid-solver stages:
     # sharded (multi-chip domain decomposition), checkpointed (chunked with
     # orbax resume), or plain fused single-chip while_loops.
+    sharded_fields = None       # (phi_init, phi_smoothed) pre-gather views
     if cfg.mesh_shape:
-        from ..parallel.mesh import make_mesh
         from ..parallel.sharded import ShardedLevelSet
-        smesh = make_mesh(tuple(cfg.mesh_shape))
         solver = ShardedLevelSet(
             smesh, grid.shape, cfg.dx, eps_scale=cfg.weno_eps_scale,
             eps_floor=cfg.eps_floor,
@@ -133,7 +144,10 @@ def run_mesh(mesh: SurfaceMesh, config: LevelSetConfig, *,
         phi_smoothed = phi_s
         phi_smoothed.block_until_ready()
         timer.mark("minmax")
-        # surface stages are O(nodes), not O(grid): gather and run local
+        # keep sharded views for streaming .vti output (never gathered to
+        # one buffer); surface stages are O(nodes), not O(grid): gather
+        # per-shard to host for the advection interpolation
+        sharded_fields = (phi_init, phi_smoothed)
         phi_init = jnp.asarray(jax.device_get(phi_init))
         phi_smoothed = jnp.asarray(jax.device_get(phi_smoothed))
         r = _StageResult(phi_init, r_it_a, r_rms_a, jnp.isnan(r_rms_a))
@@ -233,10 +247,20 @@ def run_mesh(mesh: SurfaceMesh, config: LevelSetConfig, *,
 
     if write_outputs:
         os.makedirs(out_dir, exist_ok=True)
-        write_vti(os.path.join(out_dir, "signedDistanceFunction.vti"),
-                  phi_init_h, grid)
-        write_vti(os.path.join(out_dir, "smoothedDistanceFunction.vti"),
-                  phi_smoothed_h, grid)
+        if sharded_fields is not None:
+            # z-slab streaming from the sharded device arrays
+            from ..io.vti import write_vti_streaming
+            write_vti_streaming(
+                os.path.join(out_dir, "signedDistanceFunction.vti"),
+                sharded_fields[0], grid)
+            write_vti_streaming(
+                os.path.join(out_dir, "smoothedDistanceFunction.vti"),
+                sharded_fields[1], grid)
+        else:
+            write_vti(os.path.join(out_dir, "signedDistanceFunction.vti"),
+                      phi_init_h, grid)
+            write_vti(os.path.join(out_dir, "smoothedDistanceFunction.vti"),
+                      phi_smoothed_h, grid)
         write_s3d(os.path.join(out_dir, base + ".s3d"), mesh, advected_h)
         log_event("outputs", dir=out_dir)
 

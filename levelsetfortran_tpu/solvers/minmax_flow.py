@@ -74,8 +74,8 @@ def minmax_flow(phi0, dx, h1, iters: int, tol, *, band_radius=4.1,
                 use_pallas="auto") -> MinMaxResult:
     """Run up to ``iters`` smoothing steps with RMS early exit.
 
-    ``use_pallas`` (default auto-on for f32/bf16 on TPU, default solver
-    configuration) runs each step as the fused radius-1 Pallas kernel on a
+    ``use_pallas`` (default: auto-on for float32 grids on TPU — bf16/f64 use
+    the jnp path) runs each step as the fused radius-1 Pallas kernel on a
     persistent padded layout.
     """
     shape = phi0.shape

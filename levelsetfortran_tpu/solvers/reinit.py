@@ -91,8 +91,9 @@ def reinit(phi0, dx, h, iters: int, tol, *, sign_src=None, eps_scale=1e-6,
     use :func:`reinit_fixed`).  ``sign_src`` is the frozen sign-source
     field (default: phi0) — pass the original field when continuing a
     partially-relaxed solve (e.g. checkpoint resume) so the trajectory is
-    identical to an uninterrupted run.  With ``use_pallas`` (default: auto-on for
-    f32/bf16 on TPU) each step is the fused Pallas kernel operating on a
+    identical to an uninterrupted run.  With ``use_pallas`` (default: auto-on
+    for float32 grids on TPU — see ``weno_pallas.pallas_supported``; bf16 and
+    f64 use the jnp path) each step is the fused Pallas kernel operating on a
     persistent padded layout; ``precise=True`` forces bit-exact reciprocals
     in the WENO weights instead of Newton-refined hardware reciprocals
     (~1 ulp, measurably indistinguishable in the converged field).
@@ -150,6 +151,80 @@ def reinit(phi0, dx, h, iters: int, tol, *, sign_src=None, eps_scale=1e-6,
             jnp.bool_(False))
     phi, _, n, rms, _ = jax.lax.while_loop(cond, body, init)
     return ReinitResult(phi=phi, iterations=n, final_rms=rms,
+                        diverged=jnp.isnan(rms))
+
+
+@partial(jax.jit, static_argnames=("iters", "refresh_every", "eps_scale",
+                                   "eps_floor", "quirk_y_p5_zero",
+                                   "use_pallas", "precise"))
+def reinit_narrowband(phi0, dx, h, iters: int, tol, *, band_radius=8.1,
+                      refresh_every: int = 8, sign_src=None, eps_scale=1e-6,
+                      eps_floor=None, quirk_y_p5_zero=False,
+                      use_pallas="auto", precise=False) -> ReinitResult:
+    """Narrow-band reinitialization (BASELINE config 3).
+
+    The TPU analogue of the reference's narrow-band masks
+    (``subs.f90:178-207``, applied in ``set3d.f90:402,420``): instead of a
+    per-cell mask (which saves nothing on a vector machine), whole kernel
+    tiles are skipped when no cell in their stencil window lies within
+    ``band_radius * dx`` of the interface.  The activity mask is refreshed
+    every ``refresh_every`` steps with a drift margin of
+    ``refresh_every * h / dx`` cells (each pseudo-time step moves |phi| by
+    at most ``h``), so a cell can never enter the band unnoticed between
+    refreshes.  Cells in frozen tiles keep their current value — far-field
+    relaxation toward exact distance is deliberately skipped, which is the
+    point of a narrow-band method; within the band the update equals the
+    dense solver's up to the (converged, sub-tolerance) far-field residual.
+
+    Falls back to the dense jnp solver when the fused kernel doesn't apply.
+    """
+    phi_sign_src = phi0 if sign_src is None else sign_src
+    shape = phi0.shape
+    if not _use_pallas(use_pallas, phi0, None):
+        return reinit(phi0, dx, h, iters, tol, sign_src=sign_src,
+                      eps_scale=eps_scale, eps_floor=eps_floor,
+                      quirk_y_p5_zero=quirk_y_p5_zero, use_pallas=False,
+                      precise=precise)
+
+    from ..ops import weno_pallas as wp
+    eps_floor_r, tile, interpret = wp._resolve(phi0, eps_floor, None, None)
+    dxa = jnp.asarray(dx, phi0.dtype)
+    ha = jnp.asarray(h, phi0.dtype)
+    phi_pad0 = wp.pad_for_pallas(phi0, tile)
+    sign_pad = (phi_pad0 if sign_src is None
+                else wp.pad_for_pallas(jnp.asarray(sign_src, phi0.dtype),
+                                       tile))
+    margin = refresh_every * ha / dxa
+
+    def refresh(p):
+        return wp.tile_activity(p, shape, tile, dxa, band_radius,
+                                margin_cells=margin)
+
+    def body(state):
+        p, _, n, _, _, active = state
+        active = jax.lax.cond(n % refresh_every == 0, refresh,
+                              lambda _p: active, p)
+        new = wp._pallas_step_padded(
+            p, sign_pad, dxa, ha, gshape=shape, eps_scale=eps_scale,
+            eps_floor=eps_floor_r, quirk_y_p5_zero=quirk_y_p5_zero,
+            tile=tile, interpret=interpret, precise=precise, active=active)
+        rms = _rms(wp.crop_from_pallas(new, shape),
+                   wp.crop_from_pallas(p, shape), shape)
+        done = (rms < tol) | jnp.isnan(rms)
+        return (new, p, n + 1, rms, done, active)
+
+    def cond(state):
+        _, _, n, rms, done, _ = state
+        return (~done) & (n < iters)
+
+    nbx = (phi_pad0.shape[0] - 2 * wp.XA) // tile[0]
+    nby = (phi_pad0.shape[1] - 2 * wp.YA) // tile[1]
+    init = (phi_pad0, phi_pad0, jnp.int32(0),
+            jnp.asarray(jnp.inf, phi0.dtype), jnp.bool_(False),
+            jnp.zeros((nbx, nby), jnp.int32))
+    phi_pad, _, n, rms, _, _ = jax.lax.while_loop(cond, body, init)
+    return ReinitResult(phi=wp.crop_from_pallas(phi_pad, shape),
+                        iterations=n, final_rms=rms,
                         diverged=jnp.isnan(rms))
 
 

@@ -7,7 +7,7 @@ import numpy as np
 from levelsetfortran_tpu.config import LevelSetConfig
 from levelsetfortran_tpu.grid.grid import Grid3D
 from levelsetfortran_tpu.models.analytic import sdf_sphere
-from levelsetfortran_tpu.models.procedural import box_mesh, icosphere_mesh
+from levelsetfortran_tpu.models.analytic import box_mesh, icosphere_mesh
 from levelsetfortran_tpu.pipeline.batch import (common_shape_grids,
                                                 minmax_batched,
                                                 reinit_batched, run_batch)

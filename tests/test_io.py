@@ -159,7 +159,7 @@ def test_procedural_meshes_match_analytic_sdf():
 
     from levelsetfortran_tpu.config import LevelSetConfig
     from levelsetfortran_tpu.models.analytic import sdf_box, sdf_sphere
-    from levelsetfortran_tpu.models.procedural import box_mesh, icosphere_mesh
+    from levelsetfortran_tpu.models.analytic import box_mesh, icosphere_mesh
     from levelsetfortran_tpu.pipeline.run import run_mesh
 
     # reinit_iters=0: validate the generators + exact-distance init alone

@@ -86,6 +86,51 @@ def test_scan_gradient_matches_jnp():
                                atol=2e-4, rtol=1e-3)
 
 
+def test_step_gradient_matches_jnp():
+    """Single-step VJP (the _fused_bwd route, distinct from the scan's):
+    phi and sign_src cotangents from the Pallas adjoint kernel vs jnp."""
+    from levelsetfortran_tpu.ops.weno_pallas import default_eps_floor
+    phi = _field((12, 24, 32), seed=8)
+    sgn = _field((12, 24, 32), seed=9)
+    dx, h = 0.05, 0.005
+    ef = default_eps_floor(phi.dtype)
+
+    def loss_pallas(p, s):
+        return jnp.sum(reinit_step_pallas(p, s, dx, h) ** 2)
+
+    def loss_jnp(p, s):
+        return jnp.sum(_reinit_step_jnp(p, s, jnp.float32(dx),
+                                        jnp.float32(h), 1e-6, ef,
+                                        False) ** 2)
+
+    g1p, g1s = jax.grad(loss_pallas, argnums=(0, 1))(phi, sgn)
+    g2p, g2s = jax.grad(loss_jnp, argnums=(0, 1))(phi, sgn)
+    np.testing.assert_allclose(np.asarray(g1p), np.asarray(g2p),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(g1s), np.asarray(g2s),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_scan_gradient_wrt_scalars():
+    """dx/h cotangents accumulate across tiles (SMEM scratch) and steps."""
+    phi = _field((12, 24, 32), seed=10)
+
+    def loss(fn):
+        def inner(d, hh):
+            return jnp.sum(fn(phi, d, hh) ** 2)
+        return inner
+
+    pall = loss(lambda p, d, hh: reinit_scan_pallas(p, d, hh, 2))
+    ref = loss(lambda p, d, hh: reinit_fixed(p, d, hh, 2, remat=False,
+                                             use_pallas=False))
+    g1 = jax.grad(pall, argnums=(0, 1))(jnp.float32(0.05), jnp.float32(0.005))
+    g2 = jax.grad(ref, argnums=(0, 1))(jnp.float32(0.05), jnp.float32(0.005))
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                               rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                               rtol=2e-3)
+
+
 def test_f64_falls_back_to_jnp():
     phi = _field((12, 24, 32), seed=5, dtype=np.float64)
     dx, h = 0.05, 0.005

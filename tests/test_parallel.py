@@ -151,3 +151,44 @@ def test_sharded_pallas_minmax_matches_single_device(eight_devices):
     assert int(it) == 6
     np.testing.assert_allclose(np.asarray(jax.device_get(out)),
                                np.asarray(ref.phi), atol=2e-6)
+
+
+def test_sharded_pallas_k2_matches_single_device(eight_devices):
+    """Halo-deep pipelining composes with the fused kernel: k=2 fused steps
+    per widened (tile-multiple) exchange; owned cells match the jnp
+    single-device solver."""
+    import numpy as np
+    from levelsetfortran_tpu.parallel.mesh import make_mesh
+    from levelsetfortran_tpu.parallel.sharded import ShardedLevelSet
+    from levelsetfortran_tpu.solvers.reinit import reinit_fixed
+
+    n = (32, 64, 16)
+    xs = [np.linspace(-1.2, 1.2, k) for k in n]
+    gx, gy, gz = np.meshgrid(*xs, indexing="ij")
+    phi0 = jnp.asarray(
+        (2.0 * (np.sqrt(gx**2 + gy**2 + gz**2) - 0.6)).astype(np.float32))
+    dx = 2.4 / 31
+    h = 0.1 * dx
+    ref = np.asarray(reinit_fixed(phi0, dx, h, 4, remat=False,
+                                  use_pallas=False))
+    mesh = make_mesh((2, 2, 1), eight_devices[:4])
+    s = ShardedLevelSet(mesh, n, dx, use_pallas=True, steps_per_exchange=2)
+    assert s.use_pallas, "pallas k=2 should be applicable here"
+    out, it, _ = s.reinit(s.device_put(phi0), h, iters=4, tol=0.0)
+    assert int(it) == 4
+    np.testing.assert_allclose(np.asarray(jax.device_get(out)), ref,
+                               atol=2e-6)
+
+
+def test_sharded_pallas_fallback_is_logged(eight_devices, caplog):
+    """A requested-but-denied Pallas route leaves use_pallas False and emits
+    a structured pallas_fallback event with reasons."""
+    import logging
+    from levelsetfortran_tpu.parallel.mesh import make_mesh
+    from levelsetfortran_tpu.parallel.sharded import ShardedLevelSet
+
+    mesh = make_mesh((2, 2, 2), eight_devices)    # z sharded -> unsupported
+    with caplog.at_level(logging.INFO, logger="levelsetfortran_tpu"):
+        s = ShardedLevelSet(mesh, (16, 16, 16), 0.1, use_pallas=True)
+    assert not s.use_pallas
+    assert any("pallas_fallback" in r.message for r in caplog.records)
