@@ -460,6 +460,69 @@ class ShardedLevelSet:
         return p, n, rms
 
 
+# ---------------- differentiable fixed-step solvers ----------------
+
+def reinit_fixed_sharded(mesh, phi0, dx, h, steps: int, *, eps_scale=1e-6,
+                         eps_floor=None, quirk_y_p5_zero=False, remat=True):
+    """Sharded analogue of :func:`solvers.reinit.reinit_fixed` — a
+    reverse-mode-differentiable ``lax.scan`` of the domain-decomposed Jacobi
+    step under ``shard_map``.
+
+    The halo exchange's ``ppermute`` transposes to the reverse permutation,
+    so the backward stencil sweep exchanges adjoint halos the same way the
+    forward exchanges values; a replicated upstream input (e.g. STL
+    vertices feeding a sharded init) gets its cotangent ``psum``-reduced
+    across shards by shard_map's transpose — the gradient all-reduce
+    BASELINE asks for, scheduled by XLA alongside the backward sweep.
+    Sign source is frozen at ``phi0``; per-step ``jax.checkpoint`` keeps
+    backward memory O(1) in ``steps``.
+    """
+    mesh_shape = tuple(mesh.devices.shape)
+    gshape = tuple(phi0.shape)
+    kw = dict(gshape=gshape, mesh_shape=mesh_shape, eps_scale=eps_scale,
+              eps_floor=eps_floor, quirk_y_p5_zero=quirk_y_p5_zero)
+    spec = P(*AXIS_NAMES)
+
+    def local(p0):
+        def step(p, _):
+            return reinit_step_local(p, p0, dx, h, **kw), None
+
+        if remat:
+            step = jax.checkpoint(step)
+        p, _ = jax.lax.scan(step, p0, None, length=steps)
+        return p
+
+    return shard_map(local, mesh=mesh, in_specs=(spec,),
+                     out_specs=spec)(phi0)
+
+
+def minmax_fixed_sharded(mesh, phi0, dx, h1, steps: int, *,
+                         band_radius=4.1, threshold=0.0, avg_halfwidth=1,
+                         remat=True):
+    """Sharded analogue of :func:`solvers.minmax_flow.minmax_flow_fixed`
+    (see :func:`reinit_fixed_sharded` for the differentiation story)."""
+    mesh_shape = tuple(mesh.devices.shape)
+    gshape = tuple(phi0.shape)
+    spec = P(*AXIS_NAMES)
+
+    def local(p0):
+        def step(p, _):
+            new = minmax_step_local(p, dx, h1, gshape=gshape,
+                                    mesh_shape=mesh_shape,
+                                    band_radius=band_radius,
+                                    threshold=threshold,
+                                    avg_halfwidth=avg_halfwidth)
+            return new, None
+
+        if remat:
+            step = jax.checkpoint(step)
+        p, _ = jax.lax.scan(step, p0, None, length=steps)
+        return p
+
+    return shard_map(local, mesh=mesh, in_specs=(spec,),
+                     out_specs=spec)(phi0)
+
+
 # ------------------------------ dry run ------------------------------
 
 def dryrun(n_devices: int) -> None:

@@ -36,29 +36,48 @@ class DifferentiableRender(NamedTuple):
 
 @partial(jax.jit, static_argnames=("grid", "reinit_steps", "minmax_steps",
                                    "height", "width", "n_march_steps",
-                                   "use_pallas"))
+                                   "use_pallas", "mesh"))
 def render_from_vertices(vertices, elements, grid: Grid3D, *,
                          eye, target,
                          reinit_steps: int = 20, minmax_steps: int = 10,
                          reinit_cfl: float = 0.1, minmax_cfl: float = 0.01,
                          height: int = 64, width: int = 64,
                          n_march_steps: int = 64,
-                         use_pallas="auto") -> DifferentiableRender:
+                         use_pallas="auto", mesh=None) -> DifferentiableRender:
     """Render the smoothed level set of a triangle mesh; pixels are
     differentiable w.r.t. ``vertices``.
 
     Every stage mirrors its reference counterpart (stage order of
     set3d.f90:85-654) in fixed-step differentiable form; the renderer has
     no reference counterpart (BASELINE requirement).
+
+    With ``mesh`` (a 3D ``jax.sharding.Mesh``): init runs block-sharded
+    (vertices replicated), reinit/min-max run as shard_map fixed-step
+    solvers with ppermute halo exchange, and the vertex cotangent is
+    psum-all-reduced across shards by shard_map's transpose during the
+    backward stencil sweep — the sharded reverse-mode path.
     """
     dx = grid.dx
-    phi0 = signed_distance_init(grid, vertices, jnp.asarray(elements),
-                                dtype=vertices.dtype)
-    phi = reinit_fixed(phi0, dx, reinit_cfl * dx, reinit_steps,
-                       use_pallas=use_pallas)
-    if minmax_steps:
-        phi = minmax_flow_fixed(phi, dx, minmax_cfl * dx * dx, minmax_steps,
-                                use_pallas=use_pallas)
+    if mesh is not None:
+        from ..ops.init_sign import signed_distance_init_sharded
+        from ..parallel.sharded import (minmax_fixed_sharded,
+                                        reinit_fixed_sharded)
+        phi0 = signed_distance_init_sharded(grid, vertices,
+                                            jnp.asarray(elements), mesh,
+                                            dtype=vertices.dtype)
+        phi = reinit_fixed_sharded(mesh, phi0, dx, reinit_cfl * dx,
+                                   reinit_steps)
+        if minmax_steps:
+            phi = minmax_fixed_sharded(mesh, phi, dx,
+                                       minmax_cfl * dx * dx, minmax_steps)
+    else:
+        phi0 = signed_distance_init(grid, vertices, jnp.asarray(elements),
+                                    dtype=vertices.dtype)
+        phi = reinit_fixed(phi0, dx, reinit_cfl * dx, reinit_steps,
+                           use_pallas=use_pallas)
+        if minmax_steps:
+            phi = minmax_flow_fixed(phi, dx, minmax_cfl * dx * dx,
+                                    minmax_steps, use_pallas=use_pallas)
     origins, dirs = camera_rays(height, width, eye=eye, target=target,
                                 dtype=phi.dtype)
     out: RenderResult = render(phi, grid, origins, dirs,
