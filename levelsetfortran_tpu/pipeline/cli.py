@@ -25,15 +25,41 @@ def build_parser() -> argparse.ArgumentParser:
                         "(vmapped solver stages, per-geometry convergence)")
     p.add_argument("--dx", type=float, default=d.dx)
     p.add_argument("--pad-cells", type=int, default=d.pad_cells)
+    p.add_argument("--init-mode", choices=["distance", "reference"],
+                   default=d.init_mode,
+                   help="'distance': exact point-triangle SDF init; "
+                        "'reference': the reference's smeared +-1 "
+                        "nearest-centroid field (set3d.f90:196-268)")
     p.add_argument("--reinit-iters", type=int, default=d.reinit_iters)
     p.add_argument("--reinit-cfl", type=float, default=d.reinit_cfl)
+    p.add_argument("--reinit-tol", type=float, default=d.reinit_tol,
+                   help="RMS convergence tolerance (subs.f90:915)")
     p.add_argument("--minmax-iters", type=int, default=d.minmax_iters,
                    help="set 0 to run only the signed-distance part "
                         "(reference README reduced mode)")
     p.add_argument("--minmax-cfl", type=float, default=d.minmax_cfl)
+    p.add_argument("--minmax-tol", type=float, default=d.minmax_tol,
+                   help="RMS steady-state tolerance (set3d.f90:448)")
+    p.add_argument("--minmax-threshold", type=float,
+                   default=d.minmax_threshold,
+                   help="min/max switch threshold (subs.f90:471)")
+    p.add_argument("--band-radius", type=float, default=d.band_radius,
+                   help="active narrow band, units of dx (subs.f90:194)")
+    p.add_argument("--stencil-band-radius", type=float,
+                   default=d.stencil_band_radius,
+                   help="stencil band, units of dx (subs.f90:199)")
     p.add_argument("--advect-iters", type=int, default=d.advect_iters)
+    p.add_argument("--advect-grad-order", type=int,
+                   default=d.advect_grad_order, choices=[1, 2, 4, 6, 8],
+                   help="first-derivative order for node advection "
+                        "(set3d.f90:470)")
     p.add_argument("--final-reinit-iters", type=int,
                    default=d.final_reinit_iters)
+    p.add_argument("--quirks", default="",
+                   help="comma-separated reference-as-written quirk flags "
+                        "to enable (parity studies): any of "
+                        "weno_y_p5_zero,deriv8_y_jp1,deriv1_plus_sign, "
+                        "or 'all' (see config.QuirkConfig)")
     p.add_argument("--dtype", choices=["float32", "float64", "bfloat16"],
                    default="float32")
     p.add_argument("--out-dir", default=None)
@@ -54,9 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def main(argv=None) -> int:
-    configure()
-    args = build_parser().parse_args(argv)
+def config_from_args(args) -> LevelSetConfig:
+    """Build a LevelSetConfig from parsed CLI args (testable in isolation;
+    the f64 x64-mode side effect lives here because the config is unusable
+    without it)."""
     import jax.numpy as jnp
     dtype = {"float32": jnp.float32, "float64": jnp.float64,
              "bfloat16": jnp.bfloat16}[args.dtype]
@@ -65,15 +92,37 @@ def main(argv=None) -> int:
         jax.config.update("jax_enable_x64", True)
     mesh_shape = (tuple(int(x) for x in args.mesh_shape.split(","))
                   if args.mesh_shape else None)
+    from ..config import QuirkConfig
+    qnames = [q for q in args.quirks.split(",") if q]
+    if qnames == ["all"]:
+        qnames = list(QuirkConfig.__dataclass_fields__)
+    for q in qnames:
+        if q not in QuirkConfig.__dataclass_fields__:
+            raise SystemExit(f"unknown quirk {q!r}; known: "
+                             f"{', '.join(QuirkConfig.__dataclass_fields__)}")
     cfg = LevelSetConfig(
-        dx=args.dx, pad_cells=args.pad_cells,
+        dx=args.dx, pad_cells=args.pad_cells, init_mode=args.init_mode,
         reinit_iters=args.reinit_iters, reinit_cfl=args.reinit_cfl,
+        reinit_tol=args.reinit_tol,
         minmax_iters=args.minmax_iters, minmax_cfl=args.minmax_cfl,
+        minmax_tol=args.minmax_tol,
+        minmax_threshold=args.minmax_threshold,
+        band_radius=args.band_radius,
+        stencil_band_radius=args.stencil_band_radius,
         advect_iters=args.advect_iters,
+        advect_grad_order=args.advect_grad_order,
         final_reinit_iters=args.final_reinit_iters, dtype=dtype,
         mesh_shape=mesh_shape, steps_per_exchange=args.steps_per_exchange,
         checkpoint_dir=args.checkpoint_dir,
-        checkpoint_chunk=args.checkpoint_chunk)
+        checkpoint_chunk=args.checkpoint_chunk,
+        quirks=QuirkConfig(**{q: True for q in qnames}))
+    return cfg
+
+
+def main(argv=None) -> int:
+    configure()
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
     if len(args.mesh) > 1:
         from .batch import run_batch
         dp = (True if args.data_parallel == 0 else args.data_parallel)

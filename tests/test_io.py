@@ -190,3 +190,37 @@ def test_procedural_meshes_match_analytic_sdf():
         assert err.max() < tol, err.max()
         assert (_np.sign(res.phi_init) == _np.sign(truth))[
             _np.abs(truth) > 1e-3].all()
+
+
+def test_cli_exposes_every_reference_literal():
+    """Every hardcoded reference literal (SURVEY.md §2 quirk 9) has a CLI
+    flag, including tolerances, band radii, threshold, init mode, advection
+    gradient order, and the parity quirk flags."""
+    from levelsetfortran_tpu.pipeline.cli import build_parser, config_from_args
+
+    p = build_parser()
+    args = p.parse_args([
+        "mesh.stl", "--dx", "0.1", "--pad-cells", "4",
+        "--init-mode", "reference", "--reinit-iters", "7",
+        "--reinit-cfl", "0.2", "--reinit-tol", "1e-4",
+        "--minmax-iters", "9", "--minmax-cfl", "0.02",
+        "--minmax-tol", "1e-6", "--minmax-threshold", "0.5",
+        "--band-radius", "3.1", "--stencil-band-radius", "6.1",
+        "--advect-iters", "11", "--advect-grad-order", "2",
+        "--final-reinit-iters", "13", "--quirks", "weno_y_p5_zero",
+    ])
+    cfg = config_from_args(args)
+    assert cfg.dx == 0.1 and cfg.pad_cells == 4
+    assert cfg.init_mode == "reference"
+    assert cfg.reinit_iters == 7 and cfg.reinit_cfl == 0.2
+    assert cfg.reinit_tol == 1e-4
+    assert cfg.minmax_iters == 9 and cfg.minmax_cfl == 0.02
+    assert cfg.minmax_tol == 1e-6 and cfg.minmax_threshold == 0.5
+    assert cfg.band_radius == 3.1 and cfg.stencil_band_radius == 6.1
+    assert cfg.advect_iters == 11 and cfg.advect_grad_order == 2
+    assert cfg.final_reinit_iters == 13
+    assert cfg.quirks.weno_y_p5_zero and not cfg.quirks.deriv8_y_jp1
+
+    args_all = p.parse_args(["m.stl", "--quirks", "all"])
+    q = config_from_args(args_all).quirks
+    assert q.weno_y_p5_zero and q.deriv8_y_jp1 and q.deriv1_plus_sign
