@@ -143,7 +143,10 @@ def bench_narrowband(n):
     def make_nb(steps):
         @jax.jit
         def run(p):
-            r = reinit_narrowband(p, dx, h, steps, 0.0, band_radius=8.1)
+            # refresh_every=5 aligns the chunked iteration count with the
+            # two-point step counts (SMALL_STEPS=5, BIG_STEPS=25)
+            r = reinit_narrowband(p, dx, h, steps, 0.0, band_radius=8.1,
+                                  refresh_every=5)
             return jnp.sum(r.phi)
         return run
 

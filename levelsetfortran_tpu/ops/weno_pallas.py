@@ -184,16 +184,11 @@ def _godunov_axis(d_m, d_p, pos):
     return g * g
 
 
-def _sanitize_windows(win, swin, gx0, gy0, *, gshape, rim):
-    """Zero window cells outside the TRUE global grid.
-
-    Apron cells of intermediate padded iterates are unwritten HBM —
-    possibly NaN — and 0 * NaN would poison reverse-mode partials through
-    never-selected branches; real outputs never read them through selected
-    branches, so zeroing changes no forward value the caller keeps."""
+def _window_valid_masks(win_shape, swin_shape, gx0, gy0, *, gshape, rim):
+    """(valid, svalid) masks of window cells inside the TRUE global grid."""
     nx, ny, nz = gshape
-    wx, wy, nzp = win.shape
-    ex = swin.shape[0]
+    wx, wy, nzp = win_shape
+    ex = swin_shape[0]
     wgx = (gx0 + rim - XA
            + jax.lax.broadcasted_iota(jnp.int32, (wx, 1, 1), 0))
     wgy = (gy0 + rim - YA
@@ -204,6 +199,18 @@ def _sanitize_windows(win, swin, gx0, gy0, *, gshape, rim):
     sgx = gx0 + jax.lax.broadcasted_iota(jnp.int32, (ex, 1, 1), 0)
     svalid = ((sgx >= 0) & (sgx < nx) & (wgy >= 0) & (wgy < ny)
               & (wgz < nz))
+    return valid, svalid
+
+
+def _sanitize_windows(win, swin, gx0, gy0, *, gshape, rim):
+    """Zero window cells outside the TRUE global grid.
+
+    Apron cells of intermediate padded iterates are unwritten HBM —
+    possibly NaN — and 0 * NaN would poison reverse-mode partials through
+    never-selected branches; real outputs never read them through selected
+    branches, so zeroing changes no forward value the caller keeps."""
+    valid, svalid = _window_valid_masks(win.shape, swin.shape, gx0, gy0,
+                                        gshape=gshape, rim=rim)
     return jnp.where(valid, win, 0.0), jnp.where(svalid, swin, 0.0)
 
 
@@ -281,6 +288,125 @@ def _tile_axis_gsq(win, dx, pos, deep, axis, *, tile, rim, eps_scale,
     d_m = jnp.where(deep, w_m, p2)
     d_p = jnp.where(deep, w_p, p3)
     return _godunov_axis(d_m, d_p, pos)
+
+
+def _axis_diffs(win, axis, *, tile, rim, roll):
+    """The six one-sided raw diffs p0..p5 of one axis on the extended
+    region, plus the center value c (shared with :func:`_tile_axis_gsq`)."""
+    tx, ty = tile
+    ex, ey = tx + 2 * rim, ty + 2 * rim
+
+    def pval(xoff, yoff):
+        return win[XA - rim + xoff:XA - rim + xoff + ex,
+                   YA - rim + yoff:YA - rim + yoff + ey, :]
+
+    c = pval(0, 0)
+    if axis == 0:
+        def val(off):
+            return pval(off, 0)
+    elif axis == 1:
+        def val(off):
+            return pval(0, off)
+    else:
+        def val(off):
+            return roll(c, -off, 2) if off else c
+
+    vm3, vm2, vm1 = val(-3), val(-2), val(-1)
+    vp1, vp2, vp3 = val(1), val(2), val(3)
+    return (vm2 - vm3, vm1 - vm2, c - vm1,
+            vp1 - c, vp2 - vp1, vp3 - vp2)
+
+
+def _axis_gsq_bwd(win, dx, pos, deep, axis, cot_gsq, acc_ref, *, tile, rim,
+                  eps_scale, eps_floor, quirk_y_p5_zero, ratio_floor,
+                  recip, roll, win_shape):
+    """Hand-chained adjoint of one axis's squared Godunov-WENO derivative.
+
+    Only the pure-elementwise WENO-pair algebra goes through ``jax.vjp``;
+    the Godunov max/select adjoint (cotangent routing masks) and the
+    diff/shift transpose are written by hand — they are the parts whose
+    mechanical VJP made Mosaic spill (slice/roll transposes + three axes
+    of live residuals).  The transpose accumulates DIRECTLY into
+    ``acc_ref`` (the window-shaped VMEM accumulator) with ext-sized slice
+    read-modify-writes, avoiding 7 window-shaped zero-pad
+    materializations per axis.
+
+    Returns ``cot_dx`` for this axis.
+    """
+    tx, ty = tile
+    ex, ey = tx + 2 * rim, ty + 2 * rim
+    f32 = win.dtype != jnp.float64
+    diffs = _axis_diffs(win, axis, tile=tile, rim=rim, roll=roll)
+    p2, p3 = diffs[2], diffs[3]
+
+    def pair_fn(p0, p1, p2_, p3_, p4, p5, d):
+        eps_floor_s = _scaled_eps_floor(d, eps_floor, f32)
+        return _weno5_pair(p0, p1, p2_, p3_, p4, p5, eps_scale,
+                           eps_floor_s, ratio_floor,
+                           p5_zero=(quirk_y_p5_zero and axis == 1),
+                           _recip=recip)
+
+    (w_m, w_p), vjp_pair = jax.vjp(pair_fn, *diffs, dx)
+    d_m = jnp.where(deep, w_m, p2)
+    d_p = jnp.where(deep, w_p, p3)
+
+    # godunov forward (recomputed masks) + hand adjoint: cotangent flows
+    # only through the selected branch; at exact ties the fwd value is 0,
+    # so cot_g = 2*g*cot_gsq vanishes and the tie convention is irrelevant
+    g_pos = jnp.maximum(jnp.maximum(d_m, -d_p), 0.0)
+    g_neg = jnp.maximum(jnp.maximum(d_p, -d_m), 0.0)
+    g = jnp.where(pos, g_pos, g_neg)
+    cot_g = 2.0 * g * cot_gsq
+    zero = jnp.zeros_like(cot_g)
+    m_over_p = d_m >= -d_p            # inner-max winner in the pos branch
+    p_over_m = d_p >= -d_m
+    cot_dm = jnp.where(pos, jnp.where(m_over_p, cot_g, zero),
+                       jnp.where(p_over_m, zero, -cot_g))
+    cot_dp = jnp.where(pos, jnp.where(m_over_p, zero, -cot_g),
+                       jnp.where(p_over_m, cot_g, zero))
+    # g==0 (flat/clamped-to-zero): no flow
+    cot_dm = jnp.where(g > 0.0, cot_dm, zero)
+    cot_dp = jnp.where(g > 0.0, cot_dp, zero)
+
+    cot_wm = jnp.where(deep, cot_dm, zero)
+    cot_wp = jnp.where(deep, cot_dp, zero)
+    cps = list(vjp_pair((cot_wm, cot_wp)))
+    cot_dx = cps.pop()
+    # shallow cells bypass WENO: d = p2/p3 directly
+    cps[2] = cps[2] + jnp.where(deep, zero, cot_dm)
+    cps[3] = cps[3] + jnp.where(deep, zero, cot_dp)
+
+    # transpose of the diff/shift structure: per shift k, the window slice
+    # read by val(k) receives q_k = cot_p_{k+2} - cot_p_{k+3} (with the
+    # out-of-range p's zero)
+    qs = [-cps[0],                     # v(-3)
+          cps[0] - cps[1],             # v(-2)
+          cps[1] - cps[2],             # v(-1)
+          cps[2] - cps[3],             # c
+          cps[3] - cps[4],             # v(+1)
+          cps[4] - cps[5],             # v(+2)
+          cps[5]]                      # v(+3)
+    def add_at(q, xoff, yoff):
+        x0 = XA - rim + xoff
+        y0 = YA - rim + yoff
+        cur = acc_ref[x0:x0 + ex, y0:y0 + ey, :]
+        acc_ref[x0:x0 + ex, y0:y0 + ey, :] = cur + q
+
+    if axis == 2:
+        # v(k) = roll(c, -k, 2) i.e. v[i] = c[i+k]; transpose scatters
+        # cot_v(k) back with the inverse rotation: cot_c += roll(q_k, +k)
+        qc = qs[3]
+        for k, q in zip((-3, -2, -1, 1, 2, 3), qs[:3] + qs[4:]):
+            qc = qc + roll(q, k, 2)
+        add_at(qc, 0, 0)
+    else:
+        for k, q in enumerate(qs):
+            off = k - 3
+            if axis == 0:
+                add_at(q, off, 0)
+            else:
+                add_at(q, 0, off)
+    return cot_dx
 
 
 def _tile_tail(win, swin, dx, h, grad_sq_sum, gx, gy, gz, interior, *,
@@ -377,9 +503,12 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
     clamp source shares the tile with its boundary cell.
 
     ``banded=True`` adds an SMEM (nbx, nby) int32 activity mask input after
-    the scalar args; inactive tiles skip the VPU step entirely and pass the
-    owned region through unchanged — the TPU analogue of the reference's
-    narrow-band restriction (subs.f90:178-207, set3d.f90:402,420)."""
+    the scalar args; inactive tiles skip the VPU step entirely, load/store
+    ONLY their owned region (no stencil windows, no sign window — ~4x less
+    HBM traffic), and pass the owned cells through unchanged — the TPU
+    analogue of the reference's narrow-band restriction (subs.f90:178-207,
+    set3d.f90:402,420).  Activity is scalar-read from SMEM at DMA-issue
+    time, so the double-buffered pipeline is preserved."""
     nx, ny, nz = gshape           # TRUE grid shape (pre-padding)
     tx, ty = tile
     recip = _recip_exact if precise else _recip_fast
@@ -413,6 +542,57 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
                 sslab.at[slot], in_sems.at[slot, 1])
             return p, s
 
+        def in_dma_small(slot, block_lin):
+            # inactive tile: only the owned region moves (passthrough copy)
+            wi = block_lin // nby
+            wj = block_lin % nby
+            return pltpu.make_async_copy(
+                phi_hbm.at[pl.ds(XA + wi * tx, tx),
+                           pl.ds(YA + wj * ty, ty), :],
+                pslab.at[slot, pl.ds(XA, tx), pl.ds(YA, ty), :],
+                in_sems.at[slot, 0])
+
+        def block_active(block_lin):
+            wi = block_lin // nby
+            wj = block_lin % nby
+            return active_ref[wi, wj] > 0
+
+        def start_loads(slot, block_lin):
+            if not banded:
+                p, s = in_dmas(slot, block_lin)
+                p.start()
+                s.start()
+                return
+            act = block_active(block_lin)
+
+            @pl.when(act)
+            def _():
+                p, s = in_dmas(slot, block_lin)
+                p.start()
+                s.start()
+
+            @pl.when(~act)
+            def _():
+                in_dma_small(slot, block_lin).start()
+
+        def wait_loads(slot, block_lin):
+            if not banded:
+                p, s = in_dmas(slot, block_lin)
+                p.wait()
+                s.wait()
+                return
+            act = block_active(block_lin)
+
+            @pl.when(act)
+            def _():
+                p, s = in_dmas(slot, block_lin)
+                p.wait()
+                s.wait()
+
+            @pl.when(~act)
+            def _():
+                in_dma_small(slot, block_lin).wait()
+
         def out_dma(slot, block_lin):
             wi = block_lin // nby
             wj = block_lin % nby
@@ -424,19 +604,13 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
 
         @pl.when(lin == 0)
         def _():
-            p, s = in_dmas(0, 0)
-            p.start()
-            s.start()
+            start_loads(0, 0)
 
         @pl.when(lin + 1 < n_blocks)
         def _():
-            p, s = in_dmas((lin + 1) % 2, lin + 1)
-            p.start()
-            s.start()
+            start_loads((lin + 1) % 2, lin + 1)
 
-        p, s = in_dmas(lin % 2, lin)
-        p.wait()
-        s.wait()
+        wait_loads(lin % 2, lin)
         slot = lin % 2
 
         dx = dx_ref[0, 0]
@@ -446,13 +620,12 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
         gx0 = ox_ref[0, 0] + bi * tx - rim
         gy0 = oy_ref[0, 0] + bj * ty - rim
 
-        win = pslab[slot]
-        swin = sslab[slot]
-
         def compute():
+            # slab reads live INSIDE the branch so an inactive tile never
+            # materializes the window (lax.cond would otherwise capture it)
             return _tile_step_values(
-                win, swin, dx, h, gx0, gy0, gshape=gshape, tile=tile,
-                rim=rim, eps_scale=eps_scale, eps_floor=eps_floor,
+                pslab[slot], sslab[slot], dx, h, gx0, gy0, gshape=gshape,
+                tile=tile, rim=rim, eps_scale=eps_scale, eps_floor=eps_floor,
                 quirk_y_p5_zero=quirk_y_p5_zero, ratio_floor=ratio_floor,
                 recip=recip, roll=_roll)
 
@@ -460,7 +633,7 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
             # inactive tile: owned cells unchanged this step (narrow band)
             out_tile = jax.lax.cond(
                 active_ref[bi, bj] > 0, compute,
-                lambda: win[XA:XA + tx, YA:YA + ty, :])
+                lambda: pslab[slot, XA:XA + tx, YA:YA + ty, :])
         else:
             out_tile = compute()
 
@@ -566,12 +739,13 @@ def tile_activity(phi_pad, gshape, tile, dx, radius_cells, margin_cells=0.0):
     iz = jnp.arange(nzp) < nz
     valid = (ix[:, None, None] & iy[None, :, None] & iz[None, None, :])
     a = jnp.where(valid, a, big)
-    m = a.reshape(nxp // tx, tx, nyp // ty, ty, nzp).min(axis=(1, 3, 4))
-    # dilate one tile in x and y: a neighbor's band cells can sit inside
-    # this tile's stencil window (aprons are XA <= tx, YA <= ty wide)
-    mpad = jnp.pad(m, 1, constant_values=jnp.inf)
-    m = jnp.stack([mpad[i:i + m.shape[0], j:j + m.shape[1]]
-                   for i in range(3) for j in range(3)]).min(axis=0)
+    # min over each tile's EXACT kernel read window (owned + XA/YA aprons):
+    # a strided reduce_window, tighter than dilating by whole tiles
+    m = jax.lax.reduce_window(
+        a, big, jax.lax.min,
+        window_dimensions=(tx + 2 * XA, ty + 2 * YA, nzp),
+        window_strides=(tx, ty, nzp),
+        padding=((XA, XA), (YA, YA), (0, 0)))[..., 0]
     thresh = (radius_cells + margin_cells) * dx
     return (m < thresh).astype(jnp.int32)
 
@@ -592,7 +766,8 @@ def _pick_bwd_tile(pad_shape, tile):
     return (tx, tyb)
 
 def _make_bwd_kernel(gshape, tile, nzp, eps_scale, eps_floor,
-                     quirk_y_p5_zero, ratio_floor, ring):
+                     quirk_y_p5_zero, ratio_floor, ring, _accumulate=True,
+                     _arrays=True):
     """Adjoint of the fused step, as a second Pallas kernel.
 
     Per tile: load the same phi/sign windows as the forward plus the
@@ -613,78 +788,150 @@ def _make_bwd_kernel(gshape, tile, nzp, eps_scale, eps_floor,
     def kernel(dx_ref, h_ref, ox_ref, oy_ref,
                phi_hbm, sign_hbm, g_hbm, zcp_hbm, zcs_hbm,
                cotphi_hbm, cotsign_hbm, cotdx_ref, coth_ref,
-               pwin, swin, gwin, accwin_p, accwin_s, acc, sems):
+               pwin_d, swin_d, gwin_d, accwin_p, accwin_s, acc, sems):
         bi = pl.program_id(0)
         bj = pl.program_id(1)
         nby = pl.num_programs(1)
         lin = bi * nby + bj
         n_blocks = pl.num_programs(0) * nby
 
-        ld_p = pltpu.make_async_copy(
-            phi_hbm.at[pl.ds(bi * tx, wx), pl.ds(bj * ty, wy), :],
-            pwin, sems.at[0])
-        ld_s = pltpu.make_async_copy(
-            sign_hbm.at[pl.ds(bi * tx + XA - rim, ex), pl.ds(bj * ty, wy), :],
-            swin, sems.at[1])
-        ld_g = pltpu.make_async_copy(
-            g_hbm.at[pl.ds(XA + bi * tx, tx), pl.ds(YA + bj * ty, ty), :],
-            gwin, sems.at[2])
-        ld_p.start()
-        ld_s.start()
-        ld_g.start()
-        ld_p.wait()
-        ld_s.wait()
-        ld_g.wait()
+        def in_dmas(slot, block_lin):
+            wi = block_lin // nby
+            wj = block_lin % nby
+            p = pltpu.make_async_copy(
+                phi_hbm.at[pl.ds(wi * tx, wx), pl.ds(wj * ty, wy), :],
+                pwin_d.at[slot], sems.at[slot, 0])
+            s = pltpu.make_async_copy(
+                sign_hbm.at[pl.ds(wi * tx + XA - rim, ex),
+                            pl.ds(wj * ty, wy), :],
+                swin_d.at[slot], sems.at[slot, 1])
+            gg = pltpu.make_async_copy(
+                g_hbm.at[pl.ds(XA + wi * tx, tx), pl.ds(YA + wj * ty, ty), :],
+                gwin_d.at[slot], sems.at[slot, 2])
+            return p, s, gg
+
+        # double-buffered input prefetch (same pattern as the forward
+        # kernel): block lin+1's three loads overlap block lin's adjoint
+        @pl.when(lin == 0)
+        def _():
+            for c in in_dmas(0, 0):
+                c.start()
+
+        @pl.when(lin + 1 < n_blocks)
+        def _():
+            for c in in_dmas((lin + 1) % 2, lin + 1):
+                c.start()
+
+        slot = lin % 2
+        for c in in_dmas(slot, lin):
+            c.wait()
+        pwin = pwin_d.at[slot]
+        swin = swin_d.at[slot]
+        gwin = gwin_d.at[slot]
 
         dx = dx_ref[0, 0]
         h = h_ref[0, 0]
         gx0 = ox_ref[0, 0] + bi * tx - rim
         gy0 = oy_ref[0, 0] + bj * ty - rim
 
-        def f(w, s, d, hh):
-            return _tile_step_values(
-                w, s, d, hh, gx0, gy0, gshape=gshape, tile=tile, rim=rim,
-                eps_scale=eps_scale, eps_floor=eps_floor,
-                quirk_y_p5_zero=quirk_y_p5_zero, ratio_floor=ratio_floor,
-                recip=_recip_exact, roll=_roll_jnp, guard_ad=True)
+        # Per-axis chained adjoint (manual rematerialization): jax.vjp of
+        # the WHOLE tile step keeps all three axes' WENO internals live at
+        # once and Mosaic spills heavily (measured ~8x the forward step).
+        # Instead: sanitize once, vjp the cheap tail, then run each axis's
+        # hand-chained adjoint (_axis_gsq_bwd: jax.vjp only over the
+        # elementwise WENO-pair algebra; Godunov routing and the
+        # slice/roll transposes written by hand) one at a time — each
+        # axis's residuals die before the next is traced.
+        valid, svalid = _window_valid_masks(
+            pwin.shape, swin.shape, gx0, gy0, gshape=gshape, rim=rim)
+        win = jnp.where(valid, pwin[...], 0.0)
+        swin_v = jnp.where(svalid, swin[...], 0.0)
+        del pwin, swin
+        gx, gy, gz, deep, interior = _tile_masks(
+            gx0, gy0, gshape=gshape, tile=tile, rim=rim, nzp=nzp)
+        pos = swin_v[:, YA - rim:YA - rim + ty + 2 * rim, :] > 0.0
+        akw = dict(tile=tile, rim=rim, eps_scale=eps_scale,
+                   eps_floor=eps_floor, quirk_y_p5_zero=quirk_y_p5_zero,
+                   ratio_floor=ratio_floor, recip=_recip_exact, roll=_roll)
 
-        _, vjp = jax.vjp(f, pwin[...], swin[...], dx, h)
-        cw, cs, cdx, ch = vjp(gwin[...])
+        # output-side validity: zero the cotangent at round-up/off-grid
+        # OUTPUT cells so no adjoint flows from phantom outputs (replaces
+        # input-side masking of cw/cs; apron junk written to the cot
+        # buffers is never read — gwin loads owned cells only and the
+        # final crop discards aprons)
+        ogx = gx0 + rim + jax.lax.broadcasted_iota(jnp.int32, (tx, 1, 1), 0)
+        ogy = gy0 + rim + jax.lax.broadcasted_iota(jnp.int32, (1, ty, 1), 1)
+        ogz = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nzp), 2)
+        ovalid = ((ogx >= 0) & (ogx < nx) & (ogy >= 0) & (ogy < ny)
+                  & (ogz < nz))
+        g_v = jnp.where(ovalid, gwin[...], 0.0)
+
+        gsum = None
+        for axis in (0, 1, 2):
+            ga = _tile_axis_gsq(win, dx, pos, deep, axis, **akw)
+            gsum = ga if gsum is None else gsum + ga
+
+        def tail_f(w, s, d, hh, gs):
+            return _tile_tail(w, s, d, hh, gs, gx, gy, gz, interior,
+                              gshape=gshape, tile=tile, rim=rim,
+                              roll=_roll_jnp, guard_ad=True)
+
+        _, vjp_tail = jax.vjp(tail_f, win, swin_v, dx, h, gsum)
+        cw, cs, cdx, ch, cgs = vjp_tail(g_v)
 
         @pl.when(lin == 0)
         def _():
             acc[0] = jnp.zeros((), dx.dtype)
             acc[1] = jnp.zeros((), dx.dtype)
 
+        if not _arrays:                     # perf-debug: compute only
+            cdx0 = cdx
+            for axis in (0, 1, 2):
+                cdx0 += jnp.sum(cgs) * 0.0  # keep cgs live
+            acc[0] += cdx0
+            acc[1] += ch
+            cotdx_ref[0, 0] = acc[0]
+            coth_ref[0, 0] = acc[1]
+            return
+
+        # seed the window accumulator: HBM scatter-accumulate read (the
+        # only serialized phase, ~1 ms/step) + the tail's window cotangent
+        if _accumulate:
+            rd_p = pltpu.make_async_copy(
+                cotphi_hbm.at[pl.ds(bi * tx, wx), pl.ds(bj * ty, wy), :],
+                accwin_p, sems.at[slot, 0])
+            rd_s = pltpu.make_async_copy(
+                cotsign_hbm.at[pl.ds(bi * tx + XA - rim, ex),
+                               pl.ds(bj * ty, wy), :],
+                accwin_s, sems.at[slot, 1])
+            rd_p.start()
+            rd_s.start()
+            rd_p.wait()
+            rd_s.wait()
+            accwin_p[...] = accwin_p[...] + cw
+            accwin_s[...] = accwin_s[...] + cs
+        else:                               # perf-debug: write-only (WRONG)
+            accwin_p[...] = cw
+            accwin_s[...] = cs
+
+        # per-axis hand adjoints accumulate straight into accwin_p
+        for axis in (0, 1, 2):
+            cdx += _axis_gsq_bwd(win, dx, pos, deep, axis, cgs, accwin_p,
+                                 win_shape=(wx, wy, nzp), **akw)
+
         acc[0] += cdx
         acc[1] += ch
         cotdx_ref[0, 0] = acc[0]
         coth_ref[0, 0] = acc[1]
-
-        # scatter-accumulate: blocking read-add-write on the overlapping
-        # windows (grid is sequential -> no write hazard between tiles)
-        rd_p = pltpu.make_async_copy(
-            cotphi_hbm.at[pl.ds(bi * tx, wx), pl.ds(bj * ty, wy), :],
-            accwin_p, sems.at[0])
-        rd_s = pltpu.make_async_copy(
-            cotsign_hbm.at[pl.ds(bi * tx + XA - rim, ex),
-                           pl.ds(bj * ty, wy), :],
-            accwin_s, sems.at[1])
-        rd_p.start()
-        rd_s.start()
-        rd_p.wait()
-        rd_s.wait()
-        accwin_p[...] = accwin_p[...] + cw
-        accwin_s[...] = accwin_s[...] + cs
         wr_p = pltpu.make_async_copy(
             accwin_p,
             cotphi_hbm.at[pl.ds(bi * tx, wx), pl.ds(bj * ty, wy), :],
-            sems.at[0])
+            sems.at[slot, 0])
         wr_s = pltpu.make_async_copy(
             accwin_s,
             cotsign_hbm.at[pl.ds(bi * tx + XA - rim, ex),
                            pl.ds(bj * ty, wy), :],
-            sems.at[1])
+            sems.at[slot, 1])
         wr_p.start()
         wr_s.start()
         wr_p.wait()
@@ -695,10 +942,10 @@ def _make_bwd_kernel(gshape, tile, nzp, eps_scale, eps_floor,
 
 @functools.partial(jax.jit, static_argnames=(
     "gshape", "eps_scale", "eps_floor", "quirk_y_p5_zero", "tile",
-    "interpret"))
+    "interpret", "_accumulate", "_arrays"))
 def _pallas_bwd_padded(phi_pad, sign_pad, g_pad, dx, h, *, gshape, eps_scale,
                        eps_floor, quirk_y_p5_zero, tile, interpret,
-                       offsets=None):
+                       offsets=None, _accumulate=True, _arrays=True):
     """VJP of :func:`_pallas_step_padded` w.r.t. (phi_pad, sign_pad, dx, h).
 
     ``g_pad`` must be ZERO at apron/round-up positions
@@ -716,12 +963,12 @@ def _pallas_bwd_padded(phi_pad, sign_pad, g_pad, dx, h, *, gshape, eps_scale,
     ring = _needs_ring(gshape, tile)
     kernel, (wx, wy), ex = _make_bwd_kernel(
         gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
-        ratio_floor, ring)
+        ratio_floor, ring, _accumulate=_accumulate, _arrays=_arrays)
 
     scalar_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM)
     itemsize = phi_pad.dtype.itemsize
-    slab_bytes = (3 * wx * wy + 2 * ex * wy + tx * ty) * nzp * itemsize
+    slab_bytes = (3 * wx * wy + 3 * ex * wy + 2 * tx * ty) * nzp * itemsize
     ext_bytes = ex * (ty + 2) * nzp * itemsize
     # The adjoint's register-allocator spill slots measure ~260 ext-sized
     # temporaries at peak (vs ~70 for the forward); budget generously and
@@ -752,13 +999,13 @@ def _pallas_bwd_padded(phi_pad, sign_pad, g_pad, dx, h, *, gshape, eps_scale,
                    smem_out, smem_out),
         input_output_aliases={7: 0, 8: 1},
         scratch_shapes=[
-            pltpu.VMEM((wx, wy, nzp), phi_pad.dtype),
-            pltpu.VMEM((ex, wy, nzp), phi_pad.dtype),
-            pltpu.VMEM((tx, ty, nzp), phi_pad.dtype),
+            pltpu.VMEM((2, wx, wy, nzp), phi_pad.dtype),
+            pltpu.VMEM((2, ex, wy, nzp), phi_pad.dtype),
+            pltpu.VMEM((2, tx, ty, nzp), phi_pad.dtype),
             pltpu.VMEM((wx, wy, nzp), phi_pad.dtype),
             pltpu.VMEM((ex, wy, nzp), phi_pad.dtype),
             pltpu.SMEM((2,), phi_pad.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),

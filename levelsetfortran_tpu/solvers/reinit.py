@@ -176,9 +176,17 @@ def reinit_narrowband(phi0, dx, h, iters: int, tol, *, band_radius=8.1,
     point of a narrow-band method; within the band the update equals the
     dense solver's up to the (converged, sub-tolerance) far-field residual.
 
+    The RMS convergence check (and hence early exit) runs once per
+    ``refresh_every``-step chunk, on the last two iterates — saving the two
+    full-grid HBM passes the dense solver spends on RMS every step; the
+    iteration count rounds up to a multiple of ``refresh_every``.
+
+    A finer y tile (16) than the dense kernel's (64) is used so the
+    tile-granular skip follows the band geometry more closely; skipped
+    tiles also skip their stencil-window DMAs.
+
     Falls back to the dense jnp solver when the fused kernel doesn't apply.
     """
-    phi_sign_src = phi0 if sign_src is None else sign_src
     shape = phi0.shape
     if not _use_pallas(use_pallas, phi0, None):
         return reinit(phi0, dx, h, iters, tol, sign_src=sign_src,
@@ -188,6 +196,7 @@ def reinit_narrowband(phi0, dx, h, iters: int, tol, *, band_radius=8.1,
 
     from ..ops import weno_pallas as wp
     eps_floor_r, tile, interpret = wp._resolve(phi0, eps_floor, None, None)
+    tile = (tile[0], min(tile[1], 16))
     dxa = jnp.asarray(dx, phi0.dtype)
     ha = jnp.asarray(h, phi0.dtype)
     phi_pad0 = wp.pad_for_pallas(phi0, tile)
@@ -200,29 +209,33 @@ def reinit_narrowband(phi0, dx, h, iters: int, tol, *, band_radius=8.1,
         return wp.tile_activity(p, shape, tile, dxa, band_radius,
                                 margin_cells=margin)
 
-    def body(state):
-        p, _, n, _, _, active = state
-        active = jax.lax.cond(n % refresh_every == 0, refresh,
-                              lambda _p: active, p)
-        new = wp._pallas_step_padded(
+    def step(p, active):
+        return wp._pallas_step_padded(
             p, sign_pad, dxa, ha, gshape=shape, eps_scale=eps_scale,
             eps_floor=eps_floor_r, quirk_y_p5_zero=quirk_y_p5_zero,
             tile=tile, interpret=interpret, precise=precise, active=active)
-        rms = _rms(wp.crop_from_pallas(new, shape),
-                   wp.crop_from_pallas(p, shape), shape)
+
+    def body(state):
+        p, n, _, _ = state
+        active = refresh(p)
+
+        def inner(_, carry):
+            prev, cur = carry
+            return (cur, step(cur, active))
+
+        prev, cur = jax.lax.fori_loop(0, refresh_every, inner, (p, p))
+        rms = _rms(wp.crop_from_pallas(cur, shape),
+                   wp.crop_from_pallas(prev, shape), shape)
         done = (rms < tol) | jnp.isnan(rms)
-        return (new, p, n + 1, rms, done, active)
+        return (cur, n + refresh_every, rms, done)
 
     def cond(state):
-        _, _, n, rms, done, _ = state
+        _, n, _, done = state
         return (~done) & (n < iters)
 
-    nbx = (phi_pad0.shape[0] - 2 * wp.XA) // tile[0]
-    nby = (phi_pad0.shape[1] - 2 * wp.YA) // tile[1]
-    init = (phi_pad0, phi_pad0, jnp.int32(0),
-            jnp.asarray(jnp.inf, phi0.dtype), jnp.bool_(False),
-            jnp.zeros((nbx, nby), jnp.int32))
-    phi_pad, _, n, rms, _, _ = jax.lax.while_loop(cond, body, init)
+    init = (phi_pad0, jnp.int32(0), jnp.asarray(jnp.inf, phi0.dtype),
+            jnp.bool_(False))
+    phi_pad, n, rms, _ = jax.lax.while_loop(cond, body, init)
     return ReinitResult(phi=wp.crop_from_pallas(phi_pad, shape),
                         iterations=n, final_rms=rms,
                         diverged=jnp.isnan(rms))
