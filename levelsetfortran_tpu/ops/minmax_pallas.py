@@ -233,6 +233,14 @@ def minmax_scan_pallas(phi0, dx, h1, steps: int, *, band_radius=4.1,
                        threshold=0.0, tile=None, interpret=None):
     """``steps`` fused min/max smoothing steps (persistent padded layout)."""
     phi0 = jnp.asarray(phi0)
+    from .weno_pallas import best_axis_order, inverse_perm
+    perm = best_axis_order(phi0.shape)
+    if perm != (0, 1, 2):
+        out = minmax_scan_pallas(jnp.transpose(phi0, perm), dx, h1, steps,
+                                 band_radius=band_radius,
+                                 threshold=threshold, tile=tile,
+                                 interpret=interpret)
+        return jnp.transpose(out, inverse_perm(perm))
     if not pallas_supported(phi0.shape, phi0.dtype):
         from ..solvers.minmax_flow import minmax_flow_fixed
         return minmax_flow_fixed(phi0, dx, h1, steps,

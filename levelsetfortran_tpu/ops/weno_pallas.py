@@ -704,6 +704,34 @@ def crop_from_pallas(phi_pad, gshape):
     return phi_pad[XA:XA + nx, YA:YA + ny, :nz]
 
 
+def best_axis_order(shape) -> Tuple[int, int, int]:
+    """Axis permutation minimizing the kernel's padded volume.
+
+    The padded layout rounds z up to ZALIGN (128) lanes and x/y up to the
+    tile (~8 sublanes) — a flat grid with a short last axis (e.g. the
+    twoCube10 class, nz≈42 → 128) wastes up to 3x compute and VMEM.  The
+    step's math is axis-symmetric (same WENO/BC on every axis; dx is
+    isotropic), so the solve can run in permuted axes and be transposed
+    back.  Ties keep the identity (itertools order starts with it).
+    """
+    import itertools
+    best, best_vol = (0, 1, 2), None
+    for perm in itertools.permutations((0, 1, 2)):
+        s = [shape[p] for p in perm]
+        vol = (-(-s[0] // 8) * 8) * (-(-s[1] // 8) * 8) \
+            * (-(-s[2] // ZALIGN) * ZALIGN)
+        if best_vol is None or vol < best_vol:
+            best, best_vol = perm, vol
+    return best
+
+
+def inverse_perm(perm) -> Tuple[int, int, int]:
+    inv = [0, 0, 0]
+    for i, p in enumerate(perm):
+        inv[p] = i
+    return tuple(inv)
+
+
 def pad_zero_for_pallas(g, tile):
     """Zero-pad a cotangent into the padded layout: junk outputs (aprons,
     round-up region) must receive ZERO cotangent, not edge copies."""
@@ -1170,6 +1198,14 @@ def reinit_step_pallas(phi, sign_src, dx, h, *, eps_scale=1e-6,
     ``interpret=False`` is forced.
     """
     phi = jnp.asarray(phi)
+    perm = (0, 1, 2) if quirk_y_p5_zero else best_axis_order(phi.shape)
+    if perm != (0, 1, 2):
+        out = reinit_step_pallas(
+            jnp.transpose(phi, perm),
+            jnp.transpose(jnp.asarray(sign_src, phi.dtype), perm), dx, h,
+            eps_scale=eps_scale, eps_floor=eps_floor,
+            quirk_y_p5_zero=quirk_y_p5_zero, tile=tile, interpret=interpret)
+        return jnp.transpose(out, inverse_perm(perm))
     eps_floor, tile, interpret = _resolve(phi, eps_floor, tile, interpret)
     dxa = jnp.asarray(dx, phi.dtype)
     ha = jnp.asarray(h, phi.dtype)
@@ -1265,6 +1301,13 @@ def reinit_scan_pallas(phi0, dx, h, steps: int, *, eps_scale=1e-6,
     (:func:`_pallas_bwd_padded`) once per step in reverse.
     """
     phi0 = jnp.asarray(phi0)
+    perm = (0, 1, 2) if quirk_y_p5_zero else best_axis_order(phi0.shape)
+    if perm != (0, 1, 2):
+        out = reinit_scan_pallas(
+            jnp.transpose(phi0, perm), dx, h, steps, eps_scale=eps_scale,
+            eps_floor=eps_floor, quirk_y_p5_zero=quirk_y_p5_zero,
+            tile=tile, interpret=interpret, precise=precise)
+        return jnp.transpose(out, inverse_perm(perm))
     eps_floor, tile, interpret = _resolve(phi0, eps_floor, tile, interpret)
     if not pallas_supported(phi0.shape, phi0.dtype):
         from ..solvers.reinit import reinit_fixed

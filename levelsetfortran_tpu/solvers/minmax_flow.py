@@ -82,6 +82,17 @@ def minmax_flow(phi0, dx, h1, iters: int, tol, *, band_radius=4.1,
 
     if _route_pallas(use_pallas, phi0, avg_halfwidth, use_true_curvature):
         from ..ops import minmax_pallas as mp
+        from ..ops.weno_pallas import best_axis_order, inverse_perm
+        perm = best_axis_order(shape)
+        if perm != (0, 1, 2):
+            # solve in the axis order minimizing lane/sublane round-up;
+            # the step is axis-symmetric (Laplacian + box average)
+            r = minmax_flow(jnp.transpose(phi0, perm), dx, h1, iters, tol,
+                            band_radius=band_radius, threshold=threshold,
+                            avg_halfwidth=avg_halfwidth,
+                            use_true_curvature=use_true_curvature,
+                            use_pallas=use_pallas)
+            return r._replace(phi=jnp.transpose(r.phi, inverse_perm(perm)))
         tile = mp._pick_tile(shape)
         interpret = jax.default_backend() != "tpu"
         dt = phi0.dtype

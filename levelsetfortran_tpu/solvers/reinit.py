@@ -103,6 +103,22 @@ def reinit(phi0, dx, h, iters: int, tol, *, sign_src=None, eps_scale=1e-6,
 
     if _use_pallas(use_pallas, phi0, grad_fn):
         from ..ops import weno_pallas as wp
+        # auto-orientation: solve in the axis order that minimizes the
+        # padded layout's lane/sublane round-up (flat grids: up to 3x less
+        # compute).  Disabled under the axis-specific y-p5 quirk.
+        perm = ((0, 1, 2) if quirk_y_p5_zero
+                else wp.best_axis_order(shape))
+        if perm != (0, 1, 2):
+            r = reinit(
+                jnp.transpose(phi0, perm), dx, h, iters, tol,
+                sign_src=(None if sign_src is None
+                          else jnp.transpose(jnp.asarray(sign_src,
+                                                         phi0.dtype), perm)),
+                eps_scale=eps_scale, eps_floor=eps_floor,
+                quirk_y_p5_zero=quirk_y_p5_zero, grad_fn=grad_fn,
+                use_pallas=use_pallas, precise=precise)
+            return r._replace(
+                phi=jnp.transpose(r.phi, wp.inverse_perm(perm)))
         eps_floor_r, tile, interpret = wp._resolve(phi0, eps_floor, None,
                                                    None)
         dxa = jnp.asarray(dx, phi0.dtype)
@@ -195,6 +211,18 @@ def reinit_narrowband(phi0, dx, h, iters: int, tol, *, band_radius=8.1,
                       precise=precise)
 
     from ..ops import weno_pallas as wp
+    perm = (0, 1, 2) if quirk_y_p5_zero else wp.best_axis_order(shape)
+    if perm != (0, 1, 2):
+        r = reinit_narrowband(
+            jnp.transpose(phi0, perm), dx, h, iters, tol,
+            band_radius=band_radius, refresh_every=refresh_every,
+            sign_src=(None if sign_src is None
+                      else jnp.transpose(jnp.asarray(sign_src, phi0.dtype),
+                                         perm)),
+            eps_scale=eps_scale, eps_floor=eps_floor,
+            quirk_y_p5_zero=quirk_y_p5_zero, use_pallas=use_pallas,
+            precise=precise)
+        return r._replace(phi=jnp.transpose(r.phi, wp.inverse_perm(perm)))
     eps_floor_r, tile, interpret = wp._resolve(phi0, eps_floor, None, None)
     tile = (tile[0], min(tile[1], 16))
     dxa = jnp.asarray(dx, phi0.dtype)

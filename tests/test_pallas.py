@@ -151,3 +151,51 @@ def test_ring_kernel_variant():
     out = reinit_step_pallas(phi, phi, dx, h, tile=(8, 32))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-6, rtol=1e-5)
+
+
+def test_auto_orientation_flat_grid():
+    """Flat grids (short last axis) are auto-transposed so the long axis
+    sits in lanes (best_axis_order): same result, ~3x less padded volume."""
+    from levelsetfortran_tpu.ops.weno_pallas import (best_axis_order,
+                                                     inverse_perm)
+    assert best_axis_order((262, 42, 42)) != (0, 1, 2)
+    assert best_axis_order((256, 256, 256)) == (0, 1, 2)
+    for shape in [(262, 42, 42), (40, 64, 24)]:
+        p = best_axis_order(shape)
+        assert inverse_perm(p)[p[0]] == 0
+        # re-orienting an already-oriented shape is a no-op (no recursion)
+        assert best_axis_order(tuple(shape[i] for i in p)) == (0, 1, 2)
+
+    phi = _field((64, 24, 24), seed=11)
+    dx, h = 0.05, 0.005
+    ref = reinit_fixed(phi, dx, h, 3, remat=False, use_pallas=False)
+    out = reinit_scan_pallas(phi, dx, h, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    # gradients flow through the orientation transposes
+    g1 = jax.grad(lambda p: jnp.sum(reinit_scan_pallas(p, dx, h, 2) ** 2))(phi)
+    g2 = jax.grad(lambda p: jnp.sum(
+        reinit_fixed(p, dx, h, 2, remat=False, use_pallas=False) ** 2))(phi)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_auto_orientation_solver_paths():
+    """The while-loop solvers (reinit, minmax, narrow band) agree with the
+    jnp path on a flat grid where orientation kicks in."""
+    from levelsetfortran_tpu.solvers.minmax_flow import minmax_flow
+    from levelsetfortran_tpu.solvers.reinit import reinit_narrowband
+
+    phi = _field((64, 24, 24), seed=12)
+    dx, h = 0.05, 0.005
+    ref = reinit(phi, dx, h, 3, 0.0, use_pallas=False)
+    out = reinit(phi, dx, h, 3, 0.0, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out.phi), np.asarray(ref.phi),
+                               atol=1e-5, rtol=1e-5)
+    nb = reinit_narrowband(phi, dx, h, 3, 0.0, refresh_every=3,
+                           use_pallas=True)
+    assert np.isfinite(np.asarray(nb.phi)).all()
+    mref = minmax_flow(phi, dx, 1e-4, 3, 0.0, use_pallas=False)
+    mout = minmax_flow(phi, dx, 1e-4, 3, 0.0, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(mout.phi), np.asarray(mref.phi),
+                               atol=1e-5, rtol=1e-5)
