@@ -88,7 +88,22 @@ class LevelSetConfig:
     dtype: jnp.dtype = jnp.float32      # TPU-native default; f64 for CPU parity
     weno_eps_scale: float = 1e-6        # subs.f90:533
     weno_eps_floor: float = 1e-99       # subs.f90:533 (clamped to dtype tiny)
-    sign_eps: float = 1e-13             # subs.f90:156
+    #: ``subs.f90:156`` declares ``eps = 1.E-13`` in phiSign but never reads
+    #: it (dead literal); carried here for the record, not wired anywhere.
+    sign_eps: float = 1e-13
+
+    # --- execution strategy (TPU-native; no reference counterpart) ---
+    #: "auto": fused Pallas kernels on real TPU when they apply;
+    #: "on": force (interpret mode off-TPU); "off": jnp path only.
+    use_pallas: str = "auto"
+    #: Narrow-band reinit routing (the TPU analogue of subs.f90:178-207):
+    #: "auto": banded solver whenever the fused kernel applies; "on": force;
+    #: "off": dense solver.  Banding skips whole kernel tiles whose stencil
+    #: window is farther than ``stencil_band_radius`` from the interface.
+    narrow_band: str = "auto"
+    #: Steps between narrow-band activity-mask refreshes (drift margin grows
+    #: with this; see solvers.reinit.reinit_narrowband).
+    nb_refresh_every: int = 8
 
     # --- sharding (absent in reference; SURVEY.md §2 rows 21-22) ---
     mesh_shape: Optional[Tuple[int, ...]] = None   # e.g. (2, 2, 2) over (x, y, z)
@@ -102,8 +117,20 @@ class LevelSetConfig:
 
     quirks: QuirkConfig = dataclasses.field(default_factory=QuirkConfig)
 
+    def __post_init__(self):
+        for name in ("use_pallas", "narrow_band"):
+            v = getattr(self, name)
+            if v not in ("auto", "on", "off"):
+                raise ValueError(
+                    f"{name} must be 'auto', 'on' or 'off'; got {v!r}")
+
     def replace(self, **kw) -> "LevelSetConfig":
         return dataclasses.replace(self, **kw)
+
+    @property
+    def pallas_mode(self):
+        """The solvers' ``use_pallas`` argument ("auto" | True | False)."""
+        return {"auto": "auto", "on": True, "off": False}[self.use_pallas]
 
     @property
     def eps_floor(self) -> float:

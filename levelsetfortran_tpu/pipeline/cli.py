@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--minmax-threshold", type=float,
                    default=d.minmax_threshold,
                    help="min/max switch threshold (subs.f90:471)")
+    p.add_argument("--minmax-avg-halfwidth", type=int,
+                   default=d.minmax_avg_halfwidth,
+                   help="halfwidth of the min/max switch average "
+                        "(subs.f90:467, 'h')")
     p.add_argument("--band-radius", type=float, default=d.band_radius,
                    help="active narrow band, units of dx (subs.f90:194)")
     p.add_argument("--stencil-band-radius", type=float,
@@ -53,8 +57,29 @@ def build_parser() -> argparse.ArgumentParser:
                    default=d.advect_grad_order, choices=[1, 2, 4, 6, 8],
                    help="first-derivative order for node advection "
                         "(set3d.f90:470)")
+    p.add_argument("--advect-eps", type=float, default=d.advect_eps,
+                   help="|phi_surf| floor below which a node stops moving "
+                        "(set3d.f90:493)")
     p.add_argument("--final-reinit-iters", type=int,
                    default=d.final_reinit_iters)
+    p.add_argument("--final-reinit-cfl", type=float,
+                   default=d.final_reinit_cfl,
+                   help="CFL of the final reinit stage (set3d.f90:580)")
+    p.add_argument("--weno-eps-scale", type=float, default=d.weno_eps_scale,
+                   help="WENO epsilon scale on max p_i^2 (subs.f90:533)")
+    p.add_argument("--weno-eps-floor", type=float, default=d.weno_eps_floor,
+                   help="WENO epsilon additive floor (subs.f90:533; clamped "
+                        "to the dtype's safe minimum)")
+    p.add_argument("--use-pallas", choices=["auto", "on", "off"],
+                   default=d.use_pallas,
+                   help="fused Pallas kernels: auto (TPU only), on (forced; "
+                        "interpret mode off-TPU), off (jnp path)")
+    p.add_argument("--narrow-band", choices=["auto", "on", "off"],
+                   default=d.narrow_band,
+                   help="narrow-band reinit (tile-skipping): auto (when the "
+                        "fused kernel applies), on, off")
+    p.add_argument("--nb-refresh-every", type=int, default=d.nb_refresh_every,
+                   help="steps between narrow-band activity refreshes")
     p.add_argument("--quirks", default="",
                    help="comma-separated reference-as-written quirk flags "
                         "to enable (parity studies): any of "
@@ -107,11 +132,20 @@ def config_from_args(args) -> LevelSetConfig:
         minmax_iters=args.minmax_iters, minmax_cfl=args.minmax_cfl,
         minmax_tol=args.minmax_tol,
         minmax_threshold=args.minmax_threshold,
+        minmax_avg_halfwidth=args.minmax_avg_halfwidth,
         band_radius=args.band_radius,
         stencil_band_radius=args.stencil_band_radius,
         advect_iters=args.advect_iters,
         advect_grad_order=args.advect_grad_order,
-        final_reinit_iters=args.final_reinit_iters, dtype=dtype,
+        advect_eps=args.advect_eps,
+        final_reinit_iters=args.final_reinit_iters,
+        final_reinit_cfl=args.final_reinit_cfl,
+        weno_eps_scale=args.weno_eps_scale,
+        weno_eps_floor=args.weno_eps_floor,
+        use_pallas=args.use_pallas,
+        narrow_band=args.narrow_band,
+        nb_refresh_every=args.nb_refresh_every,
+        dtype=dtype,
         mesh_shape=mesh_shape, steps_per_exchange=args.steps_per_exchange,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_chunk=args.checkpoint_chunk,

@@ -39,6 +39,24 @@ class _StageResult(typing.NamedTuple):
     diverged: object
 
 
+def _banded(cfg: LevelSetConfig, *, initial: bool) -> bool:
+    """Whether a reinit stage runs the narrow-band (tile-skipping) solver.
+
+    "on"/"off" are forced.  "auto" enables banding except for the INITIAL
+    reinit of a ``reference``-mode init: that field is a smeared +-1
+    (set3d.f90:196-268) whose far field must be grown to true distance by
+    full-grid relaxation — freezing far tiles there would leave it at +-1.
+    A ``distance`` init is already |grad|=1 everywhere, and the final reinit
+    always starts from a converged SDF, so skipping far-field tiles is
+    exact-to-tolerance in those cases (the point of a narrow-band method;
+    subs.f90:178-207).  Off-TPU (or f64) the banded solver falls back to
+    dense inside reinit_narrowband, so "auto" is always safe.
+    """
+    if cfg.narrow_band != "auto":
+        return cfg.narrow_band == "on"
+    return not (initial and cfg.init_mode == "reference")
+
+
 @dataclasses.dataclass
 class PipelineResult:
     mesh: SurfaceMesh
@@ -185,10 +203,18 @@ def run_mesh(mesh: SurfaceMesh, config: LevelSetConfig, *,
         m = _StageResult(phi_smoothed, jnp.int32(mm.iterations),
                          jnp.asarray(mm.final_rms), jnp.bool_(mm.diverged))
     else:
-        r = reinit(phi0, cfg.dx, cfg.reinit_cfl * dxx, cfg.reinit_iters,
-                   cfg.reinit_tol, eps_scale=cfg.weno_eps_scale,
-                   eps_floor=cfg.eps_floor,
-                   quirk_y_p5_zero=cfg.quirks.weno_y_p5_zero)
+        rkw = dict(eps_scale=cfg.weno_eps_scale, eps_floor=cfg.eps_floor,
+                   quirk_y_p5_zero=cfg.quirks.weno_y_p5_zero,
+                   use_pallas=cfg.pallas_mode)
+        if _banded(cfg, initial=True):
+            from ..solvers.reinit import reinit_narrowband
+            r = reinit_narrowband(
+                phi0, cfg.dx, cfg.reinit_cfl * dxx, cfg.reinit_iters,
+                cfg.reinit_tol, band_radius=cfg.stencil_band_radius,
+                refresh_every=cfg.nb_refresh_every, **rkw)
+        else:
+            r = reinit(phi0, cfg.dx, cfg.reinit_cfl * dxx, cfg.reinit_iters,
+                       cfg.reinit_tol, **rkw)
         phi_init = r.phi
         phi_init.block_until_ready()
         timer.mark("initialization")        # set3d.f90:314-316
@@ -198,7 +224,8 @@ def run_mesh(mesh: SurfaceMesh, config: LevelSetConfig, *,
                         cfg.minmax_iters, cfg.minmax_tol,
                         band_radius=cfg.band_radius,
                         threshold=cfg.minmax_threshold,
-                        avg_halfwidth=cfg.minmax_avg_halfwidth)
+                        avg_halfwidth=cfg.minmax_avg_halfwidth,
+                        use_pallas=cfg.pallas_mode)
         phi_smoothed = m.phi
         phi_smoothed.block_until_ready()
         timer.mark("minmax")
@@ -218,10 +245,19 @@ def run_mesh(mesh: SurfaceMesh, config: LevelSetConfig, *,
     asym = jnp.sqrt(jnp.sum((phi_smoothed - phi_init) ** 2) / denom)
 
     # --- final reinit (set3d.f90:576-582) ---
-    rf = reinit(phi_smoothed, cfg.dx, cfg.final_reinit_cfl * dxx,
-                cfg.final_reinit_iters, cfg.reinit_tol,
-                eps_scale=cfg.weno_eps_scale, eps_floor=cfg.eps_floor,
-                quirk_y_p5_zero=cfg.quirks.weno_y_p5_zero)
+    fkw = dict(eps_scale=cfg.weno_eps_scale, eps_floor=cfg.eps_floor,
+               quirk_y_p5_zero=cfg.quirks.weno_y_p5_zero,
+               use_pallas=cfg.pallas_mode)
+    if _banded(cfg, initial=False):
+        from ..solvers.reinit import reinit_narrowband
+        rf = reinit_narrowband(
+            phi_smoothed, cfg.dx, cfg.final_reinit_cfl * dxx,
+            cfg.final_reinit_iters, cfg.reinit_tol,
+            band_radius=cfg.stencil_band_radius,
+            refresh_every=cfg.nb_refresh_every, **fkw)
+    else:
+        rf = reinit(phi_smoothed, cfg.dx, cfg.final_reinit_cfl * dxx,
+                    cfg.final_reinit_iters, cfg.reinit_tol, **fkw)
     phi_final = rf.phi
     phi_final.block_until_ready()
     timer.mark("total")                     # set3d.f90:652-654
