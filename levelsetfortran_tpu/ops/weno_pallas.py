@@ -1243,15 +1243,93 @@ def _fused_scan_fwd(phi0, dx, h, steps, eps_scale, eps_floor,
     return out, (phi0, dx, h)
 
 
+#: Flat trajectory stash is used when it fits in this many bytes of HBM;
+#: above it the backward switches to two-level (sqrt-N) checkpointing.
+#: 1.5 GB keeps the whole ~16 GB chip budget safe next to the primal,
+#: cotangent, and double-buffer arrays at 512^3.
+_FLAT_TRAJ_BYTES = int(1.5 * 2 ** 30)
+
+
+def _segments(steps: int) -> list:
+    """Segment lengths for two-level checkpointing: ~sqrt(steps) segments
+    of ~sqrt(steps) steps (remainder in the last)."""
+    import math
+    seg = max(1, math.isqrt(steps))
+    if seg * seg < steps:
+        seg += 1
+    out = [seg] * (steps // seg)
+    if steps % seg:
+        out.append(steps % seg)
+    return out
+
+
+def checkpointed_reverse(fstep, bstep, p0, carry0, steps: int,
+                         item_bytes: int):
+    """Reverse-mode sweep over a ``steps``-long forward recurrence with
+    bounded trajectory memory (shared by the reinit and min/max fused-scan
+    backwards).
+
+    ``fstep(p) -> p_next`` advances the forward state; ``bstep(carry, p_in)
+    -> carry`` consumes one forward-step INPUT in reverse order.  Small
+    solves (trajectory <= ``_FLAT_TRAJ_BYTES``) stash every iterate in one
+    forward re-scan.  Larger solves use two-level (sqrt-N) checkpointing —
+    a snapshot scan stores only segment-start iterates, then each segment
+    recomputes its interior in reverse order — so peak HBM is
+    ~2*sqrt(steps) iterates instead of ``steps``, at the cost of one extra
+    forward recompute pass.  Both levels are scans, keeping the jaxpr O(1)
+    in sqrt(steps).
+    """
+    def fscan(p, _):
+        return fstep(p), p                 # stash the step's INPUT iterate
+
+    def bscan(carry, p_in):
+        return bstep(carry, p_in), None
+
+    if steps * item_bytes <= _FLAT_TRAJ_BYTES:
+        _, traj = jax.lax.scan(fscan, p0, None, length=steps)
+        carry, _ = jax.lax.scan(bscan, carry0, traj, reverse=True)
+        return carry
+
+    seg_lens = _segments(steps)
+    seg = seg_lens[0]
+    rem = seg_lens[-1] if seg_lens[-1] != seg else 0
+    n_full = len(seg_lens) - (1 if rem else 0)
+
+    def snap_body(p, _):
+        adv, _ = jax.lax.scan(lambda q, x: (fstep(q), None), p, None,
+                              length=seg)
+        return adv, p                      # stash segment-START iterate
+
+    p_end, snaps = jax.lax.scan(snap_body, p0, None, length=n_full)
+
+    def run_segment(carry, pstart, n):
+        _, traj = jax.lax.scan(fscan, pstart, None, length=n)
+        carry, _ = jax.lax.scan(bscan, carry, traj, reverse=True)
+        return carry
+
+    carry = run_segment(carry0, p_end, rem) if rem else carry0
+
+    def bseg_body(carry, pstart):
+        return run_segment(carry, pstart, seg), None
+
+    carry, _ = jax.lax.scan(bseg_body, carry, snaps, reverse=True)
+    return carry
+
+
 def _fused_scan_bwd(steps, eps_scale, eps_floor, quirk_y_p5_zero, tile,
                     interpret, precise, res, g):
-    """Reverse scan of the Pallas adjoint kernel.
+    """Reverse scan of the Pallas adjoint kernel with bounded memory.
 
-    Residual is phi0 only; the padded-iterate trajectory is RECOMPUTED with
-    the fast forward kernel (steps x one padded array of HBM — the
-    FLOPs-for-memory trade of jax.checkpoint applied once at scan level),
-    then the backward kernel runs once per step in reverse, carrying the
-    phi cotangent and accumulating sign/dx/h cotangents.
+    Residual is phi0 only; iterates are RECOMPUTED with the fast forward
+    kernel.  Small solves (trajectory <= ``_FLAT_TRAJ_BYTES``) stash every
+    padded iterate in one forward re-scan — one recompute pass total.
+    Larger solves use two-level (sqrt-N) checkpointing: a snapshot pass
+    stores only every segment-start iterate (~sqrt(steps) arrays), then
+    each segment in reverse order recomputes its ~sqrt(steps) interior
+    iterates and runs the backward kernel over them — peak HBM is
+    ~2*sqrt(steps) padded arrays instead of ``steps`` (200-step 256^3 and
+    50-step 512^3 gradients fit a 16 GB chip; the flat stash would need
+    ~15 GB / ~28 GB), at the cost of one extra forward recompute pass.
     """
     phi0, dx, h = res
     gshape = phi0.shape
@@ -1265,8 +1343,6 @@ def _fused_scan_bwd(steps, eps_scale, eps_floor, quirk_y_p5_zero, tile,
                                   tile=tile, **kw)
         return out, p                      # stash each step's INPUT iterate
 
-    _, traj = jax.lax.scan(fstep, phi_pad0, None, length=steps)
-
     g_pad = pad_zero_for_pallas(g, tile)
     zero_s = jnp.zeros_like(phi_pad0)
     zero = jnp.zeros((), phi0.dtype)
@@ -1278,8 +1354,12 @@ def _fused_scan_bwd(steps, eps_scale, eps_floor, quirk_y_p5_zero, tile,
                                              tile=btile, **kw)
         return (cp, cs_acc + cs, cdx_acc + cdx, ch_acc + ch), None
 
-    (gp, cs_acc, cdx_acc, ch_acc), _ = jax.lax.scan(
-        bstep, (g_pad, zero_s, zero, zero), traj, reverse=True)
+    carry0 = (g_pad, zero_s, zero, zero)
+    gp, cs_acc, cdx_acc, ch_acc = checkpointed_reverse(
+        lambda p: fstep(p, None)[0],
+        lambda carry, p_in: bstep(carry, p_in)[0],
+        phi_pad0, carry0, steps,
+        phi_pad0.size * phi_pad0.dtype.itemsize)
     # sign source IS phi_pad0: both cotangent paths land on phi0; apron
     # cotangents are exactly zero (guard_ad), so cropping == pad transpose
     cot_phi0 = crop_from_pallas(gp, gshape) + crop_from_pallas(cs_acc, gshape)

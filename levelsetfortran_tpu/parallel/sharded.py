@@ -475,7 +475,9 @@ def reinit_fixed_sharded(mesh, phi0, dx, h, steps: int, *, eps_scale=1e-6,
     across shards by shard_map's transpose — the gradient all-reduce
     BASELINE asks for, scheduled by XLA alongside the backward sweep.
     Sign source is frozen at ``phi0``; per-step ``jax.checkpoint`` keeps
-    backward memory O(1) in ``steps``.
+    the ~200 WENO intermediates per step out of the stored residuals — the
+    scan still stashes one field iterate per step (O(steps) iterates, each
+    a shard-local block), recomputing intermediates in the backward sweep.
     """
     mesh_shape = tuple(mesh.devices.shape)
     gshape = tuple(phi0.shape)

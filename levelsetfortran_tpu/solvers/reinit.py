@@ -277,11 +277,16 @@ def reinit_fixed(phi0, dx, h, steps: int, *, eps_scale=1e-6, eps_floor=None,
                  use_pallas="auto", precise=False):
     """Fixed-step reinit via ``lax.scan`` — reverse-mode differentiable.
 
-    Each step is rematerialized (``jax.checkpoint``) so backward memory is
-    O(1) in step count — the HBM-for-FLOPs trade that makes end-to-end
-    pixel->vertex gradients feasible at 256^3.  ``use_pallas``/``precise``
-    as in :func:`reinit`; the Pallas path's backward replays the jnp step
-    under jax.checkpoint.
+    Backward memory: the jnp path rematerializes each step
+    (``jax.checkpoint``) so only one field iterate per step is stored —
+    never the ~200 per-step WENO intermediates.  The Pallas path runs the
+    fused ADJOINT kernel per step in reverse; its trajectory of padded
+    iterates is recomputed with the forward kernel — stashed flat for small
+    solves, via two-level (sqrt-N) checkpointing above ~1.5 GB, so peak HBM
+    is O(sqrt(steps)) padded arrays (weno_pallas._fused_scan_bwd) — the
+    trade that makes end-to-end pixel->vertex gradients feasible at 256^3
+    (200 steps) and 512^3 (50 steps) on a 16 GB chip.
+    ``use_pallas``/``precise`` as in :func:`reinit`.
     """
     if _use_pallas(use_pallas, phi0, grad_fn):
         from ..ops.weno_pallas import reinit_scan_pallas

@@ -49,6 +49,48 @@ def test_gradient_matches():
                                atol=2e-5, rtol=1e-3)
 
 
+def test_gradient_wrt_scalars_matches():
+    """The hand adjoint's scalar cotangents (dx through 1/dx^2, h1 through
+    the Euler update) must match the jnp VJP; band_radius/threshold enter
+    through booleans only and must be exactly zero."""
+    phi = _sdf((16, 24, 32))
+    dx = 3.0 / 15
+    h1 = 0.05 * dx * dx
+
+    def loss(fn):
+        def run(d, hh, br, th):
+            return jnp.sum(fn(phi, d, hh, br, th) ** 2)
+        return jax.grad(run, argnums=(0, 1, 2, 3))(
+            jnp.float32(dx), jnp.float32(h1), jnp.float32(4.1),
+            jnp.float32(0.0))
+
+    gp = loss(lambda p, d, hh, br, th: minmax_scan_pallas(
+        p, d, hh, 3, band_radius=br, threshold=th))
+    gj = loss(lambda p, d, hh, br, th: minmax_flow_fixed(
+        p, d, hh, 3, band_radius=br, threshold=th, use_pallas=False))
+    np.testing.assert_allclose(float(gp[0]), float(gj[0]), rtol=2e-3)
+    np.testing.assert_allclose(float(gp[1]), float(gj[1]), rtol=2e-3)
+    assert float(gp[2]) == 0.0 and float(gp[3]) == 0.0
+    assert float(gj[2]) == 0.0 and float(gj[3]) == 0.0
+
+
+def test_gradient_sqrtn_checkpointing(monkeypatch):
+    """sqrt-N-checkpointed min/max backward == flat-stash backward."""
+    from levelsetfortran_tpu.ops import weno_pallas as wp
+    phi = _sdf((16, 24, 32))
+    dx = 3.0 / 15
+    h1 = 0.05 * dx * dx
+
+    def loss(p):
+        return jnp.sum(minmax_scan_pallas(p, dx, h1, 5) ** 2)
+
+    g_flat = jax.grad(loss)(phi)
+    monkeypatch.setattr(wp, "_FLAT_TRAJ_BYTES", 0)
+    g_sqrt = jax.grad(loss)(phi)
+    np.testing.assert_allclose(np.asarray(g_sqrt), np.asarray(g_flat),
+                               atol=1e-7, rtol=1e-6)
+
+
 def test_band_gate_freezes_far_field():
     phi = _sdf((16, 24, 32))
     dx = 3.0 / 15

@@ -86,6 +86,35 @@ def test_scan_gradient_matches_jnp():
                                atol=2e-4, rtol=1e-3)
 
 
+def test_scan_gradient_sqrtn_checkpointing(monkeypatch):
+    """The two-level (sqrt-N) checkpointed backward must produce the SAME
+    gradient as the flat trajectory stash — forcing the sqrt path by
+    shrinking the flat-stash byte budget to zero (VERDICT r2 #2)."""
+    from levelsetfortran_tpu.ops import weno_pallas as wp
+    phi = _field((12, 24, 32), seed=7)
+    dx, h = 0.05, 0.005
+    steps = 5   # segments [3, 2]: exercises the remainder segment
+
+    def loss(p):
+        return jnp.sum(reinit_scan_pallas(p, dx, h, steps) ** 2)
+
+    g_flat = jax.grad(loss)(phi)
+    monkeypatch.setattr(wp, "_FLAT_TRAJ_BYTES", 0)
+    g_sqrt = jax.grad(loss)(phi)
+    assert wp._segments(steps) == [3, 2]
+    np.testing.assert_allclose(np.asarray(g_sqrt), np.asarray(g_flat),
+                               atol=1e-6, rtol=1e-6)
+    # scalar cotangents too
+    gd_flat_fn = jax.grad(lambda d: jnp.sum(
+        reinit_scan_pallas(phi, d, h, steps)))
+    monkeypatch.setattr(wp, "_FLAT_TRAJ_BYTES", 10 ** 12)
+    gd_flat = gd_flat_fn(jnp.float32(dx))
+    monkeypatch.setattr(wp, "_FLAT_TRAJ_BYTES", 0)
+    gd_sqrt = gd_flat_fn(jnp.float32(dx))
+    np.testing.assert_allclose(float(gd_sqrt), float(gd_flat),
+                               rtol=1e-5, atol=1e-7)
+
+
 def test_step_gradient_matches_jnp():
     """Single-step VJP (the _fused_bwd route, distinct from the scan's):
     phi and sign_src cotangents from the Pallas adjoint kernel vs jnp."""
