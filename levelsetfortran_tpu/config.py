@@ -104,6 +104,10 @@ class LevelSetConfig:
     #: Steps between narrow-band activity-mask refreshes (drift margin grows
     #: with this; see solvers.reinit.reinit_narrowband).
     nb_refresh_every: int = 8
+    #: Stream {iteration, rms, band_tiles, cells/s} events from inside the
+    #: solver loops every N iterations (0 = off) — the structured form of
+    #: the reference's per-iteration prints (subs.f90:923, set3d.f90:456).
+    metrics_every: int = 0
 
     # --- sharding (absent in reference; SURVEY.md §2 rows 21-22) ---
     mesh_shape: Optional[Tuple[int, ...]] = None   # e.g. (2, 2, 2) over (x, y, z)

@@ -80,6 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "fused kernel applies), on, off")
     p.add_argument("--nb-refresh-every", type=int, default=d.nb_refresh_every,
                    help="steps between narrow-band activity refreshes")
+    p.add_argument("--metrics-every", type=int, default=d.metrics_every,
+                   help="emit in-loop {iteration, rms, cells/s} events every "
+                        "N iterations (0 = off; subs.f90:923 analogue)")
     p.add_argument("--quirks", default="",
                    help="comma-separated reference-as-written quirk flags "
                         "to enable (parity studies): any of "
@@ -145,6 +148,7 @@ def config_from_args(args) -> LevelSetConfig:
         use_pallas=args.use_pallas,
         narrow_band=args.narrow_band,
         nb_refresh_every=args.nb_refresh_every,
+        metrics_every=args.metrics_every,
         dtype=dtype,
         mesh_shape=mesh_shape, steps_per_exchange=args.steps_per_exchange,
         checkpoint_dir=args.checkpoint_dir,

@@ -205,7 +205,8 @@ def run_mesh(mesh: SurfaceMesh, config: LevelSetConfig, *,
     else:
         rkw = dict(eps_scale=cfg.weno_eps_scale, eps_floor=cfg.eps_floor,
                    quirk_y_p5_zero=cfg.quirks.weno_y_p5_zero,
-                   use_pallas=cfg.pallas_mode)
+                   use_pallas=cfg.pallas_mode,
+                   metrics_every=cfg.metrics_every)
         if _banded(cfg, initial=True):
             from ..solvers.reinit import reinit_narrowband
             r = reinit_narrowband(
@@ -225,7 +226,8 @@ def run_mesh(mesh: SurfaceMesh, config: LevelSetConfig, *,
                         band_radius=cfg.band_radius,
                         threshold=cfg.minmax_threshold,
                         avg_halfwidth=cfg.minmax_avg_halfwidth,
-                        use_pallas=cfg.pallas_mode)
+                        use_pallas=cfg.pallas_mode,
+                        metrics_every=cfg.metrics_every)
         phi_smoothed = m.phi
         phi_smoothed.block_until_ready()
         timer.mark("minmax")
@@ -247,7 +249,8 @@ def run_mesh(mesh: SurfaceMesh, config: LevelSetConfig, *,
     # --- final reinit (set3d.f90:576-582) ---
     fkw = dict(eps_scale=cfg.weno_eps_scale, eps_floor=cfg.eps_floor,
                quirk_y_p5_zero=cfg.quirks.weno_y_p5_zero,
-               use_pallas=cfg.pallas_mode)
+               use_pallas=cfg.pallas_mode,
+               metrics_every=cfg.metrics_every)
     if _banded(cfg, initial=False):
         from ..solvers.reinit import reinit_narrowband
         rf = reinit_narrowband(

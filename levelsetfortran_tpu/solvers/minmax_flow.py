@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from ..ops.band import narrow_band
 from ..ops.minmax import minmax_rhs
+from ..utils.metrics import emit_iteration
 
 
 class MinMaxResult(NamedTuple):
@@ -67,11 +68,12 @@ def _route_pallas(use_pallas, phi, avg_halfwidth, use_true_curvature):
 
 
 @partial(jax.jit, static_argnames=("iters", "avg_halfwidth",
-                                   "use_true_curvature", "use_pallas"))
+                                   "use_true_curvature", "use_pallas",
+                                   "metrics_every"))
 def minmax_flow(phi0, dx, h1, iters: int, tol, *, band_radius=4.1,
                 threshold=0.0, avg_halfwidth=1,
                 use_true_curvature=False,
-                use_pallas="auto") -> MinMaxResult:
+                use_pallas="auto", metrics_every: int = 0) -> MinMaxResult:
     """Run up to ``iters`` smoothing steps with RMS early exit.
 
     ``use_pallas`` (default: auto-on for float32 grids on TPU — bf16/f64 use
@@ -91,7 +93,8 @@ def minmax_flow(phi0, dx, h1, iters: int, tol, *, band_radius=4.1,
                             band_radius=band_radius, threshold=threshold,
                             avg_halfwidth=avg_halfwidth,
                             use_true_curvature=use_true_curvature,
-                            use_pallas=use_pallas)
+                            use_pallas=use_pallas,
+                            metrics_every=metrics_every)
             return r._replace(phi=jnp.transpose(r.phi, inverse_perm(perm)))
         tile = mp._pick_tile(shape)
         interpret = jax.default_backend() != "tpu"
@@ -106,6 +109,8 @@ def minmax_flow(phi0, dx, h1, iters: int, tol, *, band_radius=4.1,
                                         interpret=interpret)
             rms = _rms(mp.crop_from_pallas(new, shape),
                        mp.crop_from_pallas(p, shape), shape)
+            emit_iteration("minmax", metrics_every, n + 1, rms,
+                           cells=shape[0] * shape[1] * shape[2])
             done = (rms < tol) | jnp.isnan(rms)
             return (new, p, n + 1, rms, done)
 
@@ -130,6 +135,8 @@ def minmax_flow(phi0, dx, h1, iters: int, tol, *, band_radius=4.1,
                           threshold=threshold, avg_halfwidth=avg_halfwidth,
                           use_true_curvature=use_true_curvature)
         rms = _rms(new, phi, shape)
+        emit_iteration("minmax", metrics_every, n + 1, rms,
+                       cells=shape[0] * shape[1] * shape[2])
         done = (rms < tol) | jnp.isnan(rms)
         return (new, phi, n + 1, rms, done)
 

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from ..ops.sign import smeared_sign
 from ..ops.stencil import boundary_extrapolate, interior_mask
 from ..ops.weno import weno_godunov
+from ..utils.metrics import emit_iteration
 
 
 class ReinitResult(NamedTuple):
@@ -81,10 +82,11 @@ def _use_pallas(use_pallas, phi, grad_fn) -> bool:
 
 @partial(jax.jit, static_argnames=("iters", "eps_scale", "eps_floor",
                                    "quirk_y_p5_zero", "grad_fn",
-                                   "use_pallas", "precise"))
+                                   "use_pallas", "precise", "metrics_every"))
 def reinit(phi0, dx, h, iters: int, tol, *, sign_src=None, eps_scale=1e-6,
            eps_floor=None, quirk_y_p5_zero=False, grad_fn=None,
-           use_pallas="auto", precise=False) -> ReinitResult:
+           use_pallas="auto", precise=False,
+           metrics_every: int = 0) -> ReinitResult:
     """Run up to ``iters`` Jacobi steps, stopping early at RMS < tol.
 
     Uses ``lax.while_loop`` (forward-only; for the differentiable pipeline
@@ -116,7 +118,8 @@ def reinit(phi0, dx, h, iters: int, tol, *, sign_src=None, eps_scale=1e-6,
                                                          phi0.dtype), perm)),
                 eps_scale=eps_scale, eps_floor=eps_floor,
                 quirk_y_p5_zero=quirk_y_p5_zero, grad_fn=grad_fn,
-                use_pallas=use_pallas, precise=precise)
+                use_pallas=use_pallas, precise=precise,
+                metrics_every=metrics_every)
             return r._replace(
                 phi=jnp.transpose(r.phi, wp.inverse_perm(perm)))
         eps_floor_r, tile, interpret = wp._resolve(phi0, eps_floor, None,
@@ -136,6 +139,8 @@ def reinit(phi0, dx, h, iters: int, tol, *, sign_src=None, eps_scale=1e-6,
                 tile=tile, interpret=interpret, precise=precise)
             rms = _rms(wp.crop_from_pallas(new, shape),
                        wp.crop_from_pallas(p, shape), shape)
+            emit_iteration("reinit", metrics_every, n + 1, rms,
+                           cells=shape[0] * shape[1] * shape[2])
             done = (rms < tol) | jnp.isnan(rms)
             return (new, p, n + 1, rms, done)
 
@@ -160,6 +165,8 @@ def reinit(phi0, dx, h, iters: int, tol, *, sign_src=None, eps_scale=1e-6,
                           eps_floor=eps_floor,
                           quirk_y_p5_zero=quirk_y_p5_zero, grad_fn=grad_fn)
         rms = _rms(new, phi, shape)
+        emit_iteration("reinit", metrics_every, n + 1, rms,
+                       cells=shape[0] * shape[1] * shape[2])
         done = (rms < tol) | jnp.isnan(rms)
         return (new, phi, n + 1, rms, done)
 
@@ -172,11 +179,12 @@ def reinit(phi0, dx, h, iters: int, tol, *, sign_src=None, eps_scale=1e-6,
 
 @partial(jax.jit, static_argnames=("iters", "refresh_every", "eps_scale",
                                    "eps_floor", "quirk_y_p5_zero",
-                                   "use_pallas", "precise"))
+                                   "use_pallas", "precise", "metrics_every"))
 def reinit_narrowband(phi0, dx, h, iters: int, tol, *, band_radius=8.1,
                       refresh_every: int = 8, sign_src=None, eps_scale=1e-6,
                       eps_floor=None, quirk_y_p5_zero=False,
-                      use_pallas="auto", precise=False) -> ReinitResult:
+                      use_pallas="auto", precise=False,
+                      metrics_every: int = 0) -> ReinitResult:
     """Narrow-band reinitialization (BASELINE config 3).
 
     The TPU analogue of the reference's narrow-band masks
@@ -208,7 +216,7 @@ def reinit_narrowband(phi0, dx, h, iters: int, tol, *, band_radius=8.1,
         return reinit(phi0, dx, h, iters, tol, sign_src=sign_src,
                       eps_scale=eps_scale, eps_floor=eps_floor,
                       quirk_y_p5_zero=quirk_y_p5_zero, use_pallas=False,
-                      precise=precise)
+                      precise=precise, metrics_every=metrics_every)
 
     from ..ops import weno_pallas as wp
     perm = (0, 1, 2) if quirk_y_p5_zero else wp.best_axis_order(shape)
@@ -221,7 +229,7 @@ def reinit_narrowband(phi0, dx, h, iters: int, tol, *, band_radius=8.1,
                                          perm)),
             eps_scale=eps_scale, eps_floor=eps_floor,
             quirk_y_p5_zero=quirk_y_p5_zero, use_pallas=use_pallas,
-            precise=precise)
+            precise=precise, metrics_every=metrics_every)
         return r._replace(phi=jnp.transpose(r.phi, wp.inverse_perm(perm)))
     eps_floor_r, tile, interpret = wp._resolve(phi0, eps_floor, None, None)
     tile = (tile[0], min(tile[1], 16))
@@ -254,6 +262,10 @@ def reinit_narrowband(phi0, dx, h, iters: int, tol, *, band_radius=8.1,
         prev, cur = jax.lax.fori_loop(0, refresh_every, inner, (p, p))
         rms = _rms(wp.crop_from_pallas(cur, shape),
                    wp.crop_from_pallas(prev, shape), shape)
+        emit_iteration("reinit_narrowband", metrics_every,
+                       n + refresh_every, rms,
+                       band_tiles=jnp.sum(active),
+                       cells=shape[0] * shape[1] * shape[2])
         done = (rms < tol) | jnp.isnan(rms)
         return (cur, n + refresh_every, rms, done)
 

@@ -1,0 +1,61 @@
+"""Per-iteration metrics stream (SURVEY §5; reference subs.f90:923)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from levelsetfortran_tpu.solvers.minmax_flow import minmax_flow
+from levelsetfortran_tpu.solvers.reinit import reinit, reinit_narrowband
+from levelsetfortran_tpu.utils.metrics import MetricsStream, set_stream
+
+
+def _phi(shape=(12, 16, 20)):
+    xs = [np.linspace(-1, 1, k) for k in shape]
+    gx, gy, gz = np.meshgrid(*xs, indexing="ij")
+    return jnp.asarray(
+        (2.0 * (np.sqrt(gx ** 2 + gy ** 2 + gz ** 2) - 0.5)).astype(
+            np.float32))
+
+
+def test_reinit_emits_iteration_events():
+    stream = set_stream(MetricsStream(log=False))
+    phi = _phi()
+    r = reinit(phi, 0.05, 0.005, 8, 0.0, use_pallas=False, metrics_every=2)
+    r.phi.block_until_ready()
+    evs = [e for e in stream.events if e["stage_name"] == "reinit"]
+    iters = sorted(e["iteration"] for e in evs)
+    assert iters == [2, 4, 6, 8]
+    by_iter = {e["iteration"]: e for e in evs}
+    # rms decreases over the solve and cells/s is derived after the first
+    assert by_iter[8]["rms"] < by_iter[2]["rms"]
+    assert all(np.isfinite(e["rms"]) for e in evs)
+    assert any("cells_per_s" in e for e in evs)
+
+
+def test_metrics_disabled_by_default():
+    stream = set_stream(MetricsStream(log=False))
+    phi = _phi()
+    r = reinit(phi, 0.05, 0.005, 4, 0.0, use_pallas=False)
+    r.phi.block_until_ready()
+    assert not stream.events
+
+
+def test_minmax_emits_events():
+    stream = set_stream(MetricsStream(log=False))
+    phi = _phi()
+    m = minmax_flow(phi, 0.05, 0.05 * 0.05 * 0.05, 4, 0.0,
+                    use_pallas=False, metrics_every=1)
+    m.phi.block_until_ready()
+    evs = [e for e in stream.events if e["stage_name"] == "minmax"]
+    assert sorted(e["iteration"] for e in evs) == [1, 2, 3, 4]
+
+
+def test_narrowband_emits_band_occupancy():
+    stream = set_stream(MetricsStream(log=False))
+    phi = _phi((16, 24, 32))
+    r = reinit_narrowband(phi, 0.05, 0.005, 8, 0.0, refresh_every=4,
+                          use_pallas=True, metrics_every=4)
+    r.phi.block_until_ready()
+    evs = [e for e in stream.events
+           if e["stage_name"] == "reinit_narrowband"]
+    assert sorted(e["iteration"] for e in evs) == [4, 8]
+    assert all(e["band_tiles"] >= 1 for e in evs)
