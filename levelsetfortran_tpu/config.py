@@ -12,7 +12,7 @@ promises ("Working on adding a namelist for inputs") but never shipped.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 import jax.numpy as jnp
 
@@ -110,7 +110,10 @@ class LevelSetConfig:
     metrics_every: int = 0
 
     # --- sharding (absent in reference; SURVEY.md §2 rows 21-22) ---
-    mesh_shape: Optional[Tuple[int, ...]] = None   # e.g. (2, 2, 2) over (x, y, z)
+    #: (mx, my, mz) over (x, y, z); "auto" factors all visible devices,
+    #: preferring kernel-compatible (a, b, 1) shapes on TPU
+    #: (parallel.mesh.factor3 prefer_z1); None = single device.
+    mesh_shape: Union[None, str, Tuple[int, ...]] = None
     mesh_axis_names: Tuple[str, ...] = ("x", "y", "z")
     halo_width: int = 4                 # WENO5 needs 3, order-8 derivs need 4
     steps_per_exchange: int = 1         # halo-deep pipelining depth (k)

