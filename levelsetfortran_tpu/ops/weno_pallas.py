@@ -743,37 +743,44 @@ def pad_zero_for_pallas(g, tile):
     return jnp.pad(g, pad)
 
 
-def tile_activity(phi_pad, gshape, tile, dx, radius_cells, margin_cells=0.0):
+def tile_activity(phi_pad, gshape, tile, dx, radius_cells, margin_cells=0.0,
+                  offsets=(0, 0)):
     """(nbx, nby) int32 narrow-band activity mask from a padded iterate.
 
-    A tile is active when the min |phi| over its own cells OR any
-    neighboring tile's cells (the kernel window reaches XA/YA cells into
-    neighbors) is below ``(radius_cells + margin_cells) * dx``.  Cells
-    outside the true grid are ignored.  The TPU analogue of the
-    reference's narrow-band masks (subs.f90:178-207): work is skipped at
-    tile granularity instead of cell granularity, keeping the kernel's
-    memory layout and vector shapes static.
+    A tile is active when the min |phi| over its EXACT kernel read window
+    (owned cells + XA/YA aprons) is below
+    ``(radius_cells + margin_cells) * dx``.  Cells outside the true global
+    grid are ignored.  The TPU analogue of the reference's narrow-band
+    masks (subs.f90:178-207): work is skipped at tile granularity instead
+    of cell granularity, keeping the kernel's memory layout and vector
+    shapes static.
+
+    The min runs over the FULL padded array (VALID windows), so apron
+    cells participate: single-device they are edge copies (harmless
+    duplicates), and under domain decomposition they hold the exchanged
+    neighbor-shard cells — a boundary tile whose nearest band cells lie
+    just across the shard boundary is correctly kept active.  ``offsets``
+    (ox, oy) is the padded array's global origin (shard offset minus the
+    extra-compute extension; (0, 0) single-device).
     """
     nx, ny, nz = gshape
     tx, ty = tile
-    nxp = phi_pad.shape[0] - 2 * XA
-    nyp = phi_pad.shape[1] - 2 * YA
     nzp = phi_pad.shape[2]
-    owned = jax.lax.slice(phi_pad, (XA, YA, 0), (XA + nxp, YA + nyp, nzp))
-    a = jnp.abs(owned)
+    a = jnp.abs(phi_pad)
     big = jnp.asarray(jnp.inf, a.dtype)
-    ix = jnp.arange(nxp) < nx
-    iy = jnp.arange(nyp) < ny
-    iz = jnp.arange(nzp) < nz
-    valid = (ix[:, None, None] & iy[None, :, None] & iz[None, None, :])
+    ox, oy = offsets
+    gx = ox - XA + jnp.arange(phi_pad.shape[0])
+    gy = oy - YA + jnp.arange(phi_pad.shape[1])
+    gz = jnp.arange(nzp)
+    valid = ((gx >= 0) & (gx < nx))[:, None, None] \
+        & ((gy >= 0) & (gy < ny))[None, :, None] \
+        & (gz < nz)[None, None, :]
     a = jnp.where(valid, a, big)
-    # min over each tile's EXACT kernel read window (owned + XA/YA aprons):
-    # a strided reduce_window, tighter than dilating by whole tiles
     m = jax.lax.reduce_window(
         a, big, jax.lax.min,
         window_dimensions=(tx + 2 * XA, ty + 2 * YA, nzp),
         window_strides=(tx, ty, nzp),
-        padding=((XA, XA), (YA, YA), (0, 0)))[..., 0]
+        padding="VALID")[..., 0]
     thresh = (radius_cells + margin_cells) * dx
     return (m < thresh).astype(jnp.int32)
 

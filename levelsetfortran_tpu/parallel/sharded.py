@@ -159,7 +159,8 @@ def reinit_step_local_pallas(phi_l, sign_l, dx, h, *, gshape, mesh_shape,
 def reinit_k_steps_local_pallas(phi_l, sign_l, dx, h, k, *, ext, gshape,
                                 mesh_shape, tile, eps_scale=1e-6,
                                 eps_floor=None, quirk_y_p5_zero=False,
-                                precise=False, interpret=False):
+                                precise=False, interpret=False,
+                                band_radius=None):
     """``k`` fused-kernel reinit steps per ONE halo exchange — the
     composition of halo-deep pipelining with the Pallas path.
 
@@ -183,11 +184,21 @@ def reinit_k_steps_local_pallas(phi_l, sign_l, dx, h, k, *, ext, gshape,
     widths = (wp.XA + ext_x, wp.YA + ext_y, 0)
     pad = halo_exchange(phi_l, widths, mesh_shape)
     spad = halo_exchange(sign_l, widths, mesh_shape)
+    active = None
+    if band_radius is not None:
+        # narrow-band composition with sharding: tile-activity from the
+        # freshly exchanged padded block (aprons = real neighbor cells),
+        # valid for the k steps until the next exchange refreshes it
+        # (each step drifts |phi| by at most h)
+        active = wp.tile_activity(pad, gshape, tile, dx, band_radius,
+                                  margin_cells=k * h / dx,
+                                  offsets=(ox, oy))
     for _ in range(int(k)):
         pad = wp._pallas_step_padded(
             pad, spad, dx, h, gshape=gshape, eps_scale=eps_scale,
             eps_floor=eps_floor, quirk_y_p5_zero=quirk_y_p5_zero, tile=tile,
-            interpret=interpret, precise=precise, offsets=(ox, oy))
+            interpret=interpret, precise=precise, offsets=(ox, oy),
+            active=active)
     return pad[wp.XA + ext_x:wp.XA + ext_x + bx,
                wp.YA + ext_y:wp.YA + ext_y + by, :]
 
@@ -246,8 +257,13 @@ class ShardedLevelSet:
     def __init__(self, mesh, gshape: Tuple[int, int, int], dx: float, *,
                  eps_scale=1e-6, eps_floor=None, quirk_y_p5_zero=False,
                  steps_per_exchange: int = 1, use_pallas="auto",
-                 pallas_interpret=None):
+                 pallas_interpret=None, narrow_band: bool = False,
+                 band_radius: float = 8.1):
         self.mesh = mesh
+        #: narrow-band reinit (fused-kernel tile skipping composed with the
+        #: domain decomposition); only effective on the Pallas route
+        self.narrow_band = bool(narrow_band)
+        self.band_radius = float(band_radius)
         self.mesh_shape = tuple(mesh.devices.shape)
         self.gshape = tuple(gshape)
         self.k = int(steps_per_exchange)
@@ -282,6 +298,8 @@ class ShardedLevelSet:
                     new = reinit_k_steps_local_pallas(
                         p, sign_src, dx, h, k, ext=self._pext,
                         tile=self._ptile, interpret=self._pinterp,
+                        band_radius=(self.band_radius if self.narrow_band
+                                     else None),
                         **self._step_kw)
                 elif k == 1:
                     new = reinit_step_local(p, sign_src, dx, h,

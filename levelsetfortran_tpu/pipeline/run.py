@@ -156,7 +156,10 @@ def run_mesh(mesh: SurfaceMesh, config: LevelSetConfig, *,
             smesh, grid.shape, cfg.dx, eps_scale=cfg.weno_eps_scale,
             eps_floor=cfg.eps_floor,
             quirk_y_p5_zero=cfg.quirks.weno_y_p5_zero,
-            steps_per_exchange=cfg.steps_per_exchange)
+            steps_per_exchange=cfg.steps_per_exchange,
+            use_pallas=cfg.pallas_mode,
+            narrow_band=_banded(cfg, initial=True),
+            band_radius=cfg.stencil_band_radius)
         phi_s = solver.device_put(phi0)
         phi_s, r_it_a, r_rms_a = solver.reinit(
             phi_s, cfg.reinit_cfl * dxx, cfg.reinit_iters, cfg.reinit_tol)
