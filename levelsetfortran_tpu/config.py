@@ -118,6 +118,12 @@ class LevelSetConfig:
     halo_width: int = 4                 # WENO5 needs 3, order-8 derivs need 4
     steps_per_exchange: int = 1         # halo-deep pipelining depth (k)
 
+    #: Gather the full fields to host numpy in PipelineResult (default).
+    #: False keeps them as (possibly sharded) device arrays — at pod scale
+    #: the O(grid) fields then never leave the mesh (outputs stream
+    #: z-slabs; scalars and advected nodes are O(1)/O(n_nodes)).
+    gather_results: bool = True
+
     # --- checkpoint/resume (absent in reference; SURVEY.md §5) ---
     checkpoint_dir: Optional[str] = None
     checkpoint_chunk: int = 500         # iterations between checkpoints

@@ -33,14 +33,30 @@ def _axis_slab(x: jnp.ndarray, axis: int, start: int, size: int):
 
 
 def halo_exchange_axis(x: jnp.ndarray, width: int, axis: int,
-                       axis_name: str, n_shards: int) -> jnp.ndarray:
+                       axis_name: str, n_shards: int,
+                       periodic: bool = False) -> jnp.ndarray:
     """Extend ``x`` by ``width`` cells on both sides of ``axis`` with
-    neighbor data (zeros where no neighbor exists)."""
+    neighbor data.
+
+    Global-boundary halos are zero-filled by default (solver masks/BCs
+    never read them).  ``periodic=True`` wraps them from the opposite end
+    of the GLOBAL grid instead — a ring permutation — which makes sharded
+    stencils bitwise-match the single-device ops' circular ``jnp.roll``
+    semantics even at global faces (used by the sharded advection
+    gradient, whose single-device counterpart has no boundary masking)."""
     if n_shards == 1:
+        if periodic:
+            left = _axis_slab(x, axis, -width, width)
+            right = _axis_slab(x, axis, 0, width)
+            return jnp.concatenate([left, x, right], axis=axis)
         zero = jnp.zeros_like(_axis_slab(x, axis, 0, width))
         return jnp.concatenate([zero, x, zero], axis=axis)
-    fwd = [(i, i + 1) for i in range(n_shards - 1)]       # data flows +axis
-    bwd = [(i + 1, i) for i in range(n_shards - 1)]       # data flows -axis
+    if periodic:
+        fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+        bwd = [((i + 1) % n_shards, i) for i in range(n_shards)]
+    else:
+        fwd = [(i, i + 1) for i in range(n_shards - 1)]   # data flows +axis
+        bwd = [(i + 1, i) for i in range(n_shards - 1)]   # data flows -axis
     # my last `width` cells become my +1 neighbor's left halo
     from_left = jax.lax.ppermute(_axis_slab(x, axis, -width, width),
                                  axis_name, fwd)
@@ -52,7 +68,8 @@ def halo_exchange_axis(x: jnp.ndarray, width: int, axis: int,
 
 def halo_exchange(x: jnp.ndarray, width,
                   mesh_shape: Sequence[int],
-                  axis_names: Sequence[str] = AXIS_NAMES) -> jnp.ndarray:
+                  axis_names: Sequence[str] = AXIS_NAMES,
+                  periodic: bool = False) -> jnp.ndarray:
     """Pad a local block with halos along all three axes.
 
     ``width`` may be a single int or a per-axis tuple (0 skips an axis —
@@ -64,7 +81,7 @@ def halo_exchange(x: jnp.ndarray, width,
     for axis, (name, n, w) in enumerate(zip(axis_names, mesh_shape,
                                             widths)):
         if w:
-            x = halo_exchange_axis(x, w, axis, name, n)
+            x = halo_exchange_axis(x, w, axis, name, n, periodic=periodic)
     return x
 
 

@@ -80,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "fused kernel applies), on, off")
     p.add_argument("--nb-refresh-every", type=int, default=d.nb_refresh_every,
                    help="steps between narrow-band activity refreshes")
+    p.add_argument("--no-gather-results", dest="gather_results",
+                   action="store_false", default=d.gather_results,
+                   help="keep full fields as (sharded) device arrays in "
+                        "the result instead of gathering to host numpy")
     p.add_argument("--metrics-every", type=int, default=d.metrics_every,
                    help="emit in-loop {iteration, rms, cells/s} events every "
                         "N iterations (0 = off; subs.f90:923 analogue)")
@@ -152,6 +156,7 @@ def config_from_args(args) -> LevelSetConfig:
         narrow_band=args.narrow_band,
         nb_refresh_every=args.nb_refresh_every,
         metrics_every=args.metrics_every,
+        gather_results=args.gather_results,
         dtype=dtype,
         mesh_shape=mesh_shape, steps_per_exchange=args.steps_per_exchange,
         checkpoint_dir=args.checkpoint_dir,

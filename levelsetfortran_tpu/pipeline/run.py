@@ -59,6 +59,9 @@ def _banded(cfg: LevelSetConfig, *, initial: bool) -> bool:
 
 @dataclasses.dataclass
 class PipelineResult:
+    """Pipeline outputs.  The three phi fields are host float64 numpy by
+    default; with ``config.gather_results=False`` they are left as device
+    arrays (block-sharded under a mesh) and never transit the host."""
     mesh: SurfaceMesh
     grid: gridmod.Grid3D
     phi_init: np.ndarray          # after initial reinit (vti #1 field)
@@ -174,12 +177,10 @@ def run_mesh(mesh: SurfaceMesh, config: LevelSetConfig, *,
         phi_smoothed = phi_s
         phi_smoothed.block_until_ready()
         timer.mark("minmax")
-        # keep sharded views for streaming .vti output (never gathered to
-        # one buffer); surface stages are O(nodes), not O(grid): gather
-        # per-shard to host for the advection interpolation
+        # the full grid never leaves the mesh: .vti output streams
+        # z-slabs, advection samples per-shard (psum-merged), and the
+        # final reinit + asymptotic error run on the sharded arrays
         sharded_fields = (phi_init, phi_smoothed)
-        phi_init = jnp.asarray(jax.device_get(phi_init))
-        phi_smoothed = jnp.asarray(jax.device_get(phi_smoothed))
         r = _StageResult(phi_init, r_it_a, r_rms_a, jnp.isnan(r_rms_a))
         m = _StageResult(phi_smoothed, m_it_a, m_rms_a, jnp.isnan(m_rms_a))
     elif cfg.checkpoint_dir:
@@ -245,12 +246,21 @@ def run_mesh(mesh: SurfaceMesh, config: LevelSetConfig, *,
         timer.mark("minmax")
 
     # --- node advection (set3d.f90:470-501) ---
-    adv = advect_nodes(phi_smoothed, grid,
-                       jnp.asarray(mesh.vertices, dtype), cfg.dx,
-                       iters=cfg.advect_iters, eps=cfg.advect_eps,
-                       order=cfg.advect_grad_order,
-                       stencil_radius=cfg.stencil_band_radius,
-                       quirk_deriv8_y=cfg.quirks.deriv8_y_jp1)
+    if sharded_fields is not None:
+        from ..parallel.sharded import advect_nodes_sharded
+        adv = advect_nodes_sharded(
+            smesh, phi_smoothed, grid, jnp.asarray(mesh.vertices, dtype),
+            cfg.dx, iters=cfg.advect_iters, eps=cfg.advect_eps,
+            order=cfg.advect_grad_order,
+            stencil_radius=cfg.stencil_band_radius,
+            quirk_deriv8_y=cfg.quirks.deriv8_y_jp1)
+    else:
+        adv = advect_nodes(phi_smoothed, grid,
+                           jnp.asarray(mesh.vertices, dtype), cfg.dx,
+                           iters=cfg.advect_iters, eps=cfg.advect_eps,
+                           order=cfg.advect_grad_order,
+                           stencil_radius=cfg.stencil_band_radius,
+                           quirk_deriv8_y=cfg.quirks.deriv8_y_jp1)
     timer.mark("advect")
 
     # --- asymptotic error (set3d.f90:508-521) ---
@@ -263,7 +273,12 @@ def run_mesh(mesh: SurfaceMesh, config: LevelSetConfig, *,
                quirk_y_p5_zero=cfg.quirks.weno_y_p5_zero,
                use_pallas=cfg.pallas_mode,
                metrics_every=cfg.metrics_every)
-    if _banded(cfg, initial=False):
+    if sharded_fields is not None:
+        pf, _, f_rms = solver.reinit(
+            phi_smoothed, cfg.final_reinit_cfl * dxx,
+            cfg.final_reinit_iters, cfg.reinit_tol)
+        rf = _StageResult(pf, None, f_rms, jnp.isnan(f_rms))
+    elif _banded(cfg, initial=False):
         from ..solvers.reinit import reinit_narrowband
         rf = reinit_narrowband(
             phi_smoothed, cfg.dx, cfg.final_reinit_cfl * dxx,
@@ -279,15 +294,25 @@ def run_mesh(mesh: SurfaceMesh, config: LevelSetConfig, *,
 
     # Single batched device->host transfer: per-transfer setup through a
     # tunneled device is expensive, so every field AND every logging scalar
-    # comes back in one device_get.
-    (phi_init_h, phi_smoothed_h, phi_final_h, advected_h,
-     r_it, r_rms, r_div, m_it, m_rms, m_div, asym) = jax.device_get(
-        (phi_init, phi_smoothed, phi_final, adv.positions,
-         r.iterations, r.final_rms, r.diverged,
-         m.iterations, m.final_rms, m.diverged, asym))
-    phi_init_h = np.asarray(phi_init_h, dtype=np.float64)
-    phi_smoothed_h = np.asarray(phi_smoothed_h, np.float64)
-    phi_final_h = np.asarray(phi_final_h, np.float64)
+    # comes back in one device_get.  With gather_results=False only the
+    # O(n_nodes)/O(1) pieces transfer; the O(grid) fields stay device
+    # arrays (sharded under a mesh) and outputs stream z-slabs.
+    if cfg.gather_results:
+        (phi_init_h, phi_smoothed_h, phi_final_h, advected_h,
+         r_it, r_rms, r_div, m_it, m_rms, m_div, asym) = jax.device_get(
+            (phi_init, phi_smoothed, phi_final, adv.positions,
+             r.iterations, r.final_rms, r.diverged,
+             m.iterations, m.final_rms, m.diverged, asym))
+        phi_init_h = np.asarray(phi_init_h, dtype=np.float64)
+        phi_smoothed_h = np.asarray(phi_smoothed_h, np.float64)
+        phi_final_h = np.asarray(phi_final_h, np.float64)
+    else:
+        (advected_h, r_it, r_rms, r_div, m_it, m_rms, m_div,
+         asym) = jax.device_get(
+            (adv.positions, r.iterations, r.final_rms, r.diverged,
+             m.iterations, m.final_rms, m.diverged, asym))
+        phi_init_h, phi_smoothed_h, phi_final_h = (phi_init, phi_smoothed,
+                                                   phi_final)
     advected_h = np.asarray(advected_h, np.float64)
     asym = float(asym)
     log_event("reinit", iterations=int(r_it), rms=float(r_rms),
@@ -309,9 +334,11 @@ def run_mesh(mesh: SurfaceMesh, config: LevelSetConfig, *,
                 sharded_fields[1], grid)
         else:
             write_vti(os.path.join(out_dir, "signedDistanceFunction.vti"),
-                      phi_init_h, grid)
+                      np.asarray(jax.device_get(phi_init), np.float64)
+                      if not cfg.gather_results else phi_init_h, grid)
             write_vti(os.path.join(out_dir, "smoothedDistanceFunction.vti"),
-                      phi_smoothed_h, grid)
+                      np.asarray(jax.device_get(phi_smoothed), np.float64)
+                      if not cfg.gather_results else phi_smoothed_h, grid)
         write_s3d(os.path.join(out_dir, base + ".s3d"), mesh, advected_h)
         log_event("outputs", dir=out_dir)
 

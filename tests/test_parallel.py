@@ -281,3 +281,64 @@ def test_sharded_narrowband_k2(eight_devices):
     in_band = np.abs(p0) < 8.1 * dx
     np.testing.assert_allclose(nbv[in_band], d[in_band], atol=5e-6)
     assert np.any(nbv[~in_band] == p0[~in_band])
+
+
+def test_sharded_advection_matches_single_device(eight_devices):
+    """advect_nodes_sharded == advect_nodes: phi stays sharded, nodes are
+    replicated and psum-merged (VERDICT r2 #10)."""
+    import numpy as np
+    from levelsetfortran_tpu.grid.grid import Grid3D
+    from levelsetfortran_tpu.parallel.mesh import make_mesh
+    from levelsetfortran_tpu.parallel.sharded import advect_nodes_sharded
+    from levelsetfortran_tpu.solvers.advect import advect_nodes
+
+    n = (32, 32, 16)
+    dx = 0.1
+    grid = Grid3D(shape=n, origin=(-1.55, -1.55, -0.75), dx=dx)
+    pts = grid.coords(jnp.float32)
+    phi = jnp.asarray(
+        np.linalg.norm(np.asarray(pts), axis=-1).reshape(n) - 0.6,
+        jnp.float32)
+    rng = np.random.default_rng(0)
+    # nodes slightly off the sphere, inside the grid's safe interior
+    d = rng.normal(size=(40, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d[:, 2] *= 0.4
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    nodes = jnp.asarray((0.66 * d).astype(np.float32))
+
+    ref = advect_nodes(phi, grid, nodes, dx, iters=30)
+    for mesh_shape in [(4, 2, 1), (2, 2, 2)]:
+        mesh = make_mesh(mesh_shape, eight_devices)
+        phi_s = jax.device_put(
+            phi, jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("x", "y", "z")))
+        out = advect_nodes_sharded(mesh, phi_s, grid, nodes, dx, iters=30)
+        np.testing.assert_allclose(np.asarray(jax.device_get(out.positions)),
+                                   np.asarray(ref.positions), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(jax.device_get(out.phi_surf)),
+                                   np.asarray(ref.phi_surf), atol=2e-6)
+
+
+def test_sharded_pipeline_no_full_gather(eight_devices, tmp_path):
+    """End-to-end sharded pipeline with gather_results=False: fields stay
+    device arrays, outputs still written (streamed), advected nodes land
+    on the surface."""
+    import numpy as np
+    from levelsetfortran_tpu.config import LevelSetConfig
+    from levelsetfortran_tpu.models.analytic import icosphere_mesh
+    from levelsetfortran_tpu.pipeline.run import run_mesh
+
+    mesh = icosphere_mesh(radius=0.5, subdiv=1)
+    cfg = LevelSetConfig(dx=0.1, pad_cells=4, reinit_iters=20,
+                         minmax_iters=5, advect_iters=50,
+                         final_reinit_iters=5, mesh_shape=(2, 2, 2),
+                         gather_results=False)
+    res = run_mesh(mesh, cfg, out_dir=str(tmp_path), write_outputs=True)
+    assert isinstance(res.phi_init, jax.Array)
+    assert isinstance(res.phi_final, jax.Array)
+    assert (tmp_path / "signedDistanceFunction.vti").exists()
+    assert (tmp_path / "surface.s3d").exists()
+    # advected nodes sit near the (smoothed) zero level set
+    assert np.abs(res.advected).std() > 0
+    assert res.asymptotic_error < 0.5
