@@ -146,6 +146,226 @@ def _weno5_pair(p0, p1, p2, p3, p4, p5, eps_scale, eps_floor, ratio_floor,
     return common - pwm, common + pwp
 
 
+def _weno5_pair_hand(p0, p1, p2, p3, p4, p5, eps_scale, eps_floor,
+                     ratio_floor, p5_zero, _recip=lambda x: 1.0 / x):
+    """Forward of :func:`_weno5_pair` plus a HAND-DERIVED adjoint closure.
+
+    ``jax.vjp`` over the pair algebra mechanically reverses ~135 equations,
+    materializing every intermediate as a residual and emitting the
+    quotient/max adjoints in their generic form — Mosaic then spills and
+    rematerializes around them (the ~1.7x codegen overhead VERDICT r2
+    measured on the adjoint kernel).  This version exploits the operator's
+    structure instead:
+
+    * the normalized-weight quotient ``w_i = t_i / (t0+t1+t2)`` has the
+      compact adjoint ``cot_t_i = r*cot_w_i - sigma`` with ONE shared
+      ``sigma = r*(cot_w0*w0 + cot_w2*w2)`` (w1 is never consumed, so its
+      cotangent never exists — the mechanical VJP carries it anyway);
+    * max chains route cotangents with explicit argmax masks recomputed
+      from values already live (no stored select residuals);
+    * both sign branches share B = bc_p + bc_m and the second-difference
+      aliasing of :func:`_weno5_pair`, in the adjoint as well.
+
+    Returns ``(w_m, w_p, bwd)`` where ``bwd(cot_wm, cot_wp) ->
+    ([cot_p0..cot_p5], cot_eps_floor)``; ``cot_eps_floor`` is the
+    elementwise cotangent on the (dx^2-scaled) epsilon floor, which the
+    caller chains to ``dx``.  Ties in the max chains route to the
+    lower-index operand (measure-zero difference from jax's tie-splitting).
+    """
+    ap = p5 - p4
+    am = p1 - p0
+    bp = p4 - p3
+    bm = p2 - p1
+    cp = p3 - p2
+
+    ab_p = ap - bp
+    ab_m = am - bm
+    bc_p = bp - cp
+    bc_m = bm - cp
+    sq_ab_p = ab_p * ab_p
+    sq_ab_m = ab_m * ab_m
+    sq_bc_p = bc_p * bc_p
+    sq_bc_m = bc_m * bc_m
+
+    e0p = ab_p - 2.0 * bp
+    e0m = ab_m - 2.0 * bm
+    e1p = bp + cp
+    e1m = bm + cp
+    e2p = 3.0 * cp - bm
+    e2m = 3.0 * cp - bp
+
+    is0p = 13.0 * sq_ab_p + 3.0 * (e0p * e0p)
+    is0m = 13.0 * sq_ab_m + 3.0 * (e0m * e0m)
+    is1p = 13.0 * sq_bc_p + 3.0 * (e1p * e1p)
+    is1m = 13.0 * sq_bc_m + 3.0 * (e1m * e1m)
+    is2p = 13.0 * sq_bc_m + 3.0 * (e2p * e2p)
+    is2m = 13.0 * sq_bc_p + 3.0 * (e2m * e2m)
+
+    p1s, p2s, p3s, p4s = p1 * p1, p2 * p2, p3 * p3, p4 * p4
+    c12 = jnp.maximum(p1s, p2s)
+    c34 = jnp.maximum(p3s, p4s)
+    common4 = jnp.maximum(c12, c34)
+    p0s = p0 * p0
+    if p5_zero:
+        mp_ = common4
+    else:
+        p5s = p5 * p5
+        mp_ = jnp.maximum(common4, p5s)
+    mm_ = jnp.maximum(common4, p0s)
+    epsp = eps_scale * mp_ + eps_floor
+    epsm = eps_scale * mm_ + eps_floor
+
+    def weights_fwd(eps, is0, is1, is2):
+        d0 = eps + is0
+        d1 = eps + is1
+        d2 = eps + is2
+        m12 = jnp.maximum(d1, d2)
+        inv = _recip(jnp.maximum(d0, m12))
+        r0 = d0 * inv
+        r1 = d1 * inv
+        r2 = d2 * inv
+        h0 = jnp.maximum(r0, ratio_floor)
+        h1 = jnp.maximum(r1, ratio_floor)
+        h2 = jnp.maximum(r2, ratio_floor)
+        u0 = h1 * h2
+        u1 = h0 * h2
+        u2 = h0 * h1
+        t0 = u0 * u0
+        t2 = 3.0 * (u2 * u2)
+        r = _recip(t0 + 6.0 * (u1 * u1) + t2)
+        w0 = t0 * r
+        w2 = t2 * r
+        return (w0, w2), (d0, d1, d2, m12, inv, r0, r1, r2,
+                          h0, h1, h2, u0, u1, u2, r, w0, w2)
+
+    (w0p, w2p), res_p = weights_fwd(epsp, is0p, is1p, is2p)
+    (w0m, w2m), res_m = weights_fwd(epsm, is0m, is1m, is2m)
+
+    third = 1.0 / 3.0
+    sixth = 1.0 / 6.0
+    A_p = ab_p - bc_p
+    A_m = ab_m - bc_m
+    B = bc_p + bc_m
+    pwp = w0p * A_p * third + (w2p - 0.5) * B * sixth
+    pwm = w0m * A_m * third + (w2m - 0.5) * B * sixth
+    common = (7.0 * (p2 + p3) - (p1 + p4)) * (1.0 / 12.0)
+    w_minus = common - pwm
+    w_plus = common + pwp
+
+    def weights_bwd(res, cot_w0, cot_w2):
+        (d0, d1, d2, m12, inv, r0, r1, r2,
+         h0, h1, h2, u0, u1, u2, r, w0, w2) = res
+        sigma = r * (cot_w0 * w0 + cot_w2 * w2)
+        cot_t0 = r * cot_w0 - sigma
+        cot_t2 = r * cot_w2 - sigma
+        cot_u0 = (2.0 * cot_t0) * u0
+        cot_u1 = (-12.0 * sigma) * u1          # cot_t1 = -sigma; t1 = 6 u1^2
+        cot_u2 = (6.0 * cot_t2) * u2
+        cot_h0 = cot_u1 * h2 + cot_u2 * h1
+        cot_h1 = cot_u0 * h2 + cot_u2 * h0
+        cot_h2 = cot_u0 * h1 + cot_u1 * h0
+        zero = jnp.zeros_like(cot_h0)
+        cr0 = jnp.where(r0 >= ratio_floor, cot_h0, zero)
+        cr1 = jnp.where(r1 >= ratio_floor, cot_h1, zero)
+        cr2 = jnp.where(r2 >= ratio_floor, cot_h2, zero)
+        cot_d0 = cr0 * inv
+        cot_d1 = cr1 * inv
+        cot_d2 = cr2 * inv
+        cot_m = -(inv * inv) * (cr0 * d0 + cr1 * d1 + cr2 * d2)
+        d0_wins = d0 >= m12
+        d1_wins = d1 >= d2
+        cot_d0 = cot_d0 + jnp.where(d0_wins, cot_m, zero)
+        cot_m12 = jnp.where(d0_wins, zero, cot_m)
+        cot_d1 = cot_d1 + jnp.where(d1_wins, cot_m12, zero)
+        cot_d2 = cot_d2 + jnp.where(d1_wins, zero, cot_m12)
+        # d_i = eps + is_i
+        return cot_d0 + cot_d1 + cot_d2, cot_d0, cot_d1, cot_d2
+
+    def bwd(cot_wm, cot_wp):
+        cot_common = cot_wm + cot_wp
+        cot_pwp = cot_wp
+        cot_pwm = -cot_wm
+
+        tp = cot_pwp * third
+        tm = cot_pwm * third
+        cot_w0p = tp * A_p
+        cot_Ap = tp * w0p
+        cot_w0m = tm * A_m
+        cot_Am = tm * w0m
+        sp = cot_pwp * sixth
+        sm = cot_pwm * sixth
+        cot_w2p = sp * B
+        cot_w2m = sm * B
+        cot_B = sp * (w2p - 0.5) + sm * (w2m - 0.5)
+
+        cot_epsp, ci0p, ci1p, ci2p = weights_bwd(res_p, cot_w0p, cot_w2p)
+        cot_epsm, ci0m, ci1m, ci2m = weights_bwd(res_m, cot_w0m, cot_w2m)
+
+        # is terms -> squared second-differences + cross terms
+        cot_sq_ab_p = 13.0 * ci0p
+        cot_sq_ab_m = 13.0 * ci0m
+        cot_sq_bc_p = 13.0 * (ci1p + ci2m)
+        cot_sq_bc_m = 13.0 * (ci1m + ci2p)
+        ce0p = (6.0 * ci0p) * e0p
+        ce0m = (6.0 * ci0m) * e0m
+        ce1p = (6.0 * ci1p) * e1p
+        ce1m = (6.0 * ci1m) * e1m
+        ce2p = (6.0 * ci2p) * e2p
+        ce2m = (6.0 * ci2m) * e2m
+
+        # epsilon max-chain routing (shared common4 collects both branches)
+        cot_mp = eps_scale * cot_epsp
+        cot_mm = eps_scale * cot_epsm
+        zero = jnp.zeros_like(cot_mp)
+        mm_c4 = common4 >= p0s
+        cot_c4 = jnp.where(mm_c4, cot_mm, zero)
+        cot_p0s = jnp.where(mm_c4, zero, cot_mm)
+        if p5_zero:
+            cot_c4 = cot_c4 + cot_mp
+            cot_p5s = zero
+        else:
+            mp_c4 = common4 >= p5s
+            cot_c4 = cot_c4 + jnp.where(mp_c4, cot_mp, zero)
+            cot_p5s = jnp.where(mp_c4, zero, cot_mp)
+        c12_wins = c12 >= c34
+        cot_c12 = jnp.where(c12_wins, cot_c4, zero)
+        cot_c34 = jnp.where(c12_wins, zero, cot_c4)
+        p1_wins = p1s >= p2s
+        p3_wins = p3s >= p4s
+        cot_p1s = jnp.where(p1_wins, cot_c12, zero)
+        cot_p2s = jnp.where(p1_wins, zero, cot_c12)
+        cot_p3s = jnp.where(p3_wins, cot_c34, zero)
+        cot_p4s = jnp.where(p3_wins, zero, cot_c34)
+
+        # second differences
+        cot_ab_p = (2.0 * ab_p) * cot_sq_ab_p + ce0p + cot_Ap
+        cot_ab_m = (2.0 * ab_m) * cot_sq_ab_m + ce0m + cot_Am
+        cot_bc_p = (2.0 * bc_p) * cot_sq_bc_p - cot_Ap + cot_B
+        cot_bc_m = (2.0 * bc_m) * cot_sq_bc_m - cot_Am + cot_B
+        cot_bp = -2.0 * ce0p + ce1p - ce2m - cot_ab_p + cot_bc_p
+        cot_bm = -2.0 * ce0m + ce1m - ce2p - cot_ab_m + cot_bc_m
+        cot_cp = ce1p + ce1m + 3.0 * (ce2p + ce2m) - cot_bc_p - cot_bc_m
+        cot_ap = cot_ab_p
+        cot_am = cot_ab_m
+
+        # first differences -> p's (+ eps square routing + `common`)
+        # cot_p*s already carry eps_scale (folded into cot_mp/cot_mm)
+        c7 = (7.0 / 12.0) * cot_common
+        c1 = (1.0 / 12.0) * cot_common
+        cot_p0 = -cot_am + 2.0 * p0 * cot_p0s
+        cot_p1 = cot_am - cot_bm - c1 + 2.0 * p1 * cot_p1s
+        cot_p2 = cot_bm - cot_cp + c7 + 2.0 * p2 * cot_p2s
+        cot_p3 = cot_cp - cot_bp + c7 + 2.0 * p3 * cot_p3s
+        cot_p4 = cot_bp - cot_ap - c1 + 2.0 * p4 * cot_p4s
+        cot_p5 = cot_ap + 2.0 * p5 * cot_p5s
+
+        cot_eps_floor = cot_epsp + cot_epsm
+        return [cot_p0, cot_p1, cot_p2, cot_p3, cot_p4,
+                cot_p5], cot_eps_floor
+
+    return w_minus, w_plus, bwd
+
+
 def _roll(v, shift, axis):
     """jnp.roll semantics on a pltpu.roll that requires shift >= 0."""
     return pltpu.roll(v, shift % v.shape[axis], axis)
@@ -338,15 +558,11 @@ def _axis_gsq_bwd(win, dx, pos, deep, axis, cot_gsq, acc_ref, *, tile, rim,
     f32 = win.dtype != jnp.float64
     diffs = _axis_diffs(win, axis, tile=tile, rim=rim, roll=roll)
     p2, p3 = diffs[2], diffs[3]
+    eps_floor_s = _scaled_eps_floor(dx, eps_floor, f32)
 
-    def pair_fn(p0, p1, p2_, p3_, p4, p5, d):
-        eps_floor_s = _scaled_eps_floor(d, eps_floor, f32)
-        return _weno5_pair(p0, p1, p2_, p3_, p4, p5, eps_scale,
-                           eps_floor_s, ratio_floor,
-                           p5_zero=(quirk_y_p5_zero and axis == 1),
-                           _recip=recip)
-
-    (w_m, w_p), vjp_pair = jax.vjp(pair_fn, *diffs, dx)
+    w_m, w_p, pair_bwd = _weno5_pair_hand(
+        *diffs, eps_scale, eps_floor_s, ratio_floor,
+        p5_zero=(quirk_y_p5_zero and axis == 1), _recip=recip)
     d_m = jnp.where(deep, w_m, p2)
     d_p = jnp.where(deep, w_p, p3)
 
@@ -370,8 +586,12 @@ def _axis_gsq_bwd(win, dx, pos, deep, axis, cot_gsq, acc_ref, *, tile, rim,
 
     cot_wm = jnp.where(deep, cot_dm, zero)
     cot_wp = jnp.where(deep, cot_dp, zero)
-    cps = list(vjp_pair((cot_wm, cot_wp)))
-    cot_dx = cps.pop()
+    cps, cot_ef = pair_bwd(cot_wm, cot_wp)
+    # chain the eps-floor cotangent to dx: eps_floor_s carries the dx^2
+    # scale unless clamped at the dtype-safe minimum (_scaled_eps_floor)
+    gate = eps_floor * (dx * dx) >= (1e-18 if f32 else 1e-99)
+    cot_dx = jnp.where(gate, 2.0 * eps_floor * dx,
+                       jnp.zeros_like(dx)) * jnp.sum(cot_ef)
     # shallow cells bypass WENO: d = p2/p3 directly
     cps[2] = cps[2] + jnp.where(deep, zero, cot_dm)
     cps[3] = cps[3] + jnp.where(deep, zero, cot_dp)
@@ -386,26 +606,46 @@ def _axis_gsq_bwd(win, dx, pos, deep, axis, cot_gsq, acc_ref, *, tile, rim,
           cps[3] - cps[4],             # v(+1)
           cps[4] - cps[5],             # v(+2)
           cps[5]]                      # v(+3)
-    def add_at(q, xoff, yoff):
-        x0 = XA - rim + xoff
-        y0 = YA - rim + yoff
-        cur = acc_ref[x0:x0 + ex, y0:y0 + ey, :]
-        acc_ref[x0:x0 + ex, y0:y0 + ey, :] = cur + q
-
     if axis == 2:
         # v(k) = roll(c, -k, 2) i.e. v[i] = c[i+k]; transpose scatters
         # cot_v(k) back with the inverse rotation: cot_c += roll(q_k, +k)
         qc = qs[3]
         for k, q in zip((-3, -2, -1, 1, 2, 3), qs[:3] + qs[4:]):
             qc = qc + roll(q, k, 2)
-        add_at(qc, 0, 0)
-    else:
+        x0, y0 = XA - rim, YA - rim
+        cur = acc_ref[x0:x0 + ex, y0:y0 + ey, :]
+        acc_ref[x0:x0 + ex, y0:y0 + ey, :] = cur + qc
+    elif axis == 0:
+        # x is the UNTILED major dim: zero-pad placement there is a cheap
+        # concat, so the 7 shifted contributions combine in registers and
+        # land with ONE slice accumulate instead of 7 read-modify-writes
+        total = None
         for k, q in enumerate(qs):
-            off = k - 3
-            if axis == 0:
-                add_at(q, off, 0)
-            else:
-                add_at(q, 0, off)
+            qp = jnp.pad(q, ((k, 6 - k), (0, 0), (0, 0)))
+            total = qp if total is None else total + qp
+        x0, y0 = XA - rim - 3, YA - rim
+        cur = acc_ref[x0:x0 + ex + 6, y0:y0 + ey, :]
+        acc_ref[x0:x0 + ex + 6, y0:y0 + ey, :] = cur + total
+    else:
+        # y is the SUBLANE dim: misaligned slice read-modify-writes lower
+        # to per-sublane shifting stores (the dominant adjoint codegen
+        # overhead VERDICT r2 measured).  Instead: place each q at the
+        # aligned offset YA inside a zero-padded window-width buffer,
+        # sublane-roll it to its target offset (wrapped lanes land in the
+        # zero pad, |shift| <= 4 < YA - 2*rim), sum, and do ONE aligned
+        # full-width accumulate.
+        wy = win_shape[1]
+        before, after = YA, wy - YA - ey
+        total = None
+        for k, q in enumerate(qs):
+            qp = jnp.pad(q, ((0, 0), (before, after), (0, 0)))
+            shift = (k - 3) - rim      # placed at YA, target YA - rim + off
+            if shift:
+                qp = roll(qp, shift, 1)
+            total = qp if total is None else total + qp
+        x0 = XA - rim
+        cur = acc_ref[x0:x0 + ex, :, :]
+        acc_ref[x0:x0 + ex, :, :] = cur + total
     return cot_dx
 
 
@@ -791,14 +1031,16 @@ def _pick_bwd_tile(pad_shape, tile):
     """Backward-kernel tile: must divide the compute extents of the padded
     layout built with the FORWARD tile (the scan backward reads forward-tile
     trajectory arrays in place).  The adjoint holds ~3x the forward's live
-    temporaries, so the y tile shrinks to bound register-allocator spills
-    within VMEM."""
+    temporaries, so the y tile shrinks below the forward's 64 to bound
+    register-allocator spills; the r3 hand-adjoint sweep at 256^3 measured
+    (8, 32) fastest (10.5 ms/step vs 10.9 at both (8, 16) and (8, 8), 11.5
+    at (16, 16))."""
     tx, ty = tile
     nyp = pad_shape[1] - 2 * YA
-    tyb = 16 if nyp % 16 == 0 else 8
-    if nyp % tyb:
-        tyb = ty
-    return (tx, tyb)
+    for tyb in (32, 16, 8):
+        if nyp % tyb == 0:
+            return (tx, tyb)
+    return (tx, ty)
 
 def _make_bwd_kernel(gshape, tile, nzp, eps_scale, eps_floor,
                      quirk_y_p5_zero, ratio_floor, ring, _accumulate=True,
