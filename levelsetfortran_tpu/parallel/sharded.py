@@ -136,6 +136,77 @@ def reinit_k_steps_local(phi_l, sign_l, dx, h, k, *, gshape, mesh_shape,
     return crop(pad, w)
 
 
+def reinit_step_local_overlap(phi_l, sign_l, dx, h, *, gshape, mesh_shape,
+                              eps_scale=1e-6, eps_floor=None,
+                              quirk_y_p5_zero=False):
+    """One Jacobi reinit step with the halo exchange OVERLAPPED with
+    interior compute (SURVEY.md §5: "neighbor-exchange overlapped with
+    compute on a ring/torus").
+
+    Dataflow, not manual async: the ``ppermute`` sends read only face slabs
+    of ``phi_l``, and the interior pass reads only ``phi_l`` — neither
+    depends on the other, so XLA's latency-hiding scheduler issues the ICI
+    collective-permute concurrently with the interior stencil compute.
+    Cells within WENO radius (3) of a shard face — whose stencils need
+    exchanged data — are then recomputed from 9-wide slabs of the arrived
+    pad and pasted over the interior pass's (garbage) values there.
+
+    Bitwise equal to :func:`reinit_step_local`: interior cells read the
+    same neighbor values either way, and shell cells are evaluated by the
+    same global-mask math on the same exchanged values (elementwise ops on
+    identical inputs).  Costs one extra shell-region compute (6 slabs of
+    width 3W per sharded axis, ~2x the halo-region work) in exchange for
+    hiding the exchange latency — the stencil analogue of overlapping the
+    gradient all-reduce with the backward sweep (BASELINE).
+    """
+    W = 3                              # WENO radius = exchange width
+    b = phi_l.shape
+    offs = _offsets(b)
+
+    def update_on(vals, svals, o):
+        deep = _global_interior_mask(vals.shape, o, gshape, 4)
+        g, _ = weno_godunov(vals, dx, eps_scale=eps_scale,
+                            eps_floor=eps_floor,
+                            quirk_y_p5_zero=quirk_y_p5_zero,
+                            deep_mask=deep, switch=svals)
+        sgn = smeared_sign(svals, dx, g)
+        return vals + h * sgn * (1.0 - g)
+
+    # interior pass: LOCAL data only — valid at cells >= W from any
+    # shard-internal face (circular-roll wrap feeds only shell cells,
+    # which the slab passes overwrite; global faces are safe because the
+    # deep mask already routes them to the +-1-cell first-order path)
+    upd = update_on(phi_l, sign_l, offs)
+
+    # exchange — independent of the interior pass above
+    pad = halo_exchange(phi_l, W, mesh_shape)
+    spad = halo_exchange(sign_l, W, mesh_shape)
+    pad_offs = tuple(o - W for o in offs)
+
+    # shell passes: per sharded axis, a 3W-slab at each side of the pad
+    # (full extent of the other axes, halos included, so corner/edge cells'
+    # cross-axis stencils see exchanged data too)
+    for a in range(3):
+        if mesh_shape[a] == 1:
+            continue
+        for side in (0, 1):
+            sl = [slice(None)] * 3
+            sl[a] = slice(0, 3 * W) if side == 0 else slice(-3 * W, None)
+            o = list(pad_offs)
+            if side == 1:
+                o[a] = pad_offs[a] + pad.shape[a] - 3 * W
+            shell = update_on(pad[tuple(sl)], spad[tuple(sl)], tuple(o))
+            keep = [slice(W, -W)] * 3    # crop other axes' halos
+            keep[a] = slice(W, 2 * W)    # the W true shell cells
+            dst = [slice(None)] * 3
+            dst[a] = slice(0, W) if side == 0 else slice(b[a] - W, b[a])
+            upd = upd.at[tuple(dst)].set(shell[tuple(keep)])
+
+    interior = _global_interior_mask(b, offs, gshape, 1)
+    phi_new = jnp.where(interior, upd, phi_l)
+    return _local_boundary_extrapolate(phi_new, dx, offs, gshape)
+
+
 def reinit_step_local_pallas(phi_l, sign_l, dx, h, *, gshape, mesh_shape,
                              tile, eps_scale=1e-6, eps_floor=None,
                              quirk_y_p5_zero=False, precise=False,
@@ -258,12 +329,15 @@ class ShardedLevelSet:
                  eps_scale=1e-6, eps_floor=None, quirk_y_p5_zero=False,
                  steps_per_exchange: int = 1, use_pallas="auto",
                  pallas_interpret=None, narrow_band: bool = False,
-                 band_radius: float = 8.1):
+                 band_radius: float = 8.1, overlap: bool = False):
         self.mesh = mesh
         #: narrow-band reinit (fused-kernel tile skipping composed with the
         #: domain decomposition); only effective on the Pallas route
         self.narrow_band = bool(narrow_band)
         self.band_radius = float(band_radius)
+        #: overlap the halo exchange with interior compute (jnp route,
+        #: k=1; see reinit_step_local_overlap)
+        self.overlap = bool(overlap)
         self.mesh_shape = tuple(mesh.devices.shape)
         self.gshape = tuple(gshape)
         self.k = int(steps_per_exchange)
@@ -301,6 +375,9 @@ class ShardedLevelSet:
                         band_radius=(self.band_radius if self.narrow_band
                                      else None),
                         **self._step_kw)
+                elif k == 1 and self.overlap:
+                    new = reinit_step_local_overlap(p, sign_src, dx, h,
+                                                    **self._step_kw)
                 elif k == 1:
                     new = reinit_step_local(p, sign_src, dx, h,
                                             **self._step_kw)
@@ -356,8 +433,10 @@ class ShardedLevelSet:
             in_specs=(spec, P(), P(), P(), P(), P()),
             out_specs=(spec, P(), P()),
             check_vma=False))
+        _stepf = (reinit_step_local_overlap if self.overlap
+                  else reinit_step_local)
         self._step = jax.jit(shard_map(
-            lambda p, s, h: reinit_step_local(p, s, dx, h, **self._step_kw),
+            lambda p, s, h: _stepf(p, s, dx, h, **self._step_kw),
             mesh=mesh, in_specs=(spec, spec, P()), out_specs=spec,
             check_vma=False))
 

@@ -94,6 +94,40 @@ class TestShardedEquivalence:
                                    np.asarray(ref), atol=2e-6)
 
 
+class TestOverlapEquivalence:
+    """Exchange-overlapped step == plain exchanged step == single device.
+
+    ``reinit_step_local_overlap`` computes the interior from local data
+    (concurrent with the ppermute) and recomputes only shard-face shells
+    from the exchanged pad; the decomposition must be invisible in the
+    result (bitwise up to f32 reassociation).
+    """
+
+    @pytest.mark.parametrize("mesh_shape", [(2, 2, 2), (4, 2, 1), (1, 2, 4)])
+    def test_overlap_step_matches_single_device(self, eight_devices,
+                                                mesh_shape):
+        grid, phi = make_phi(16, 0.1)
+        h = 0.01
+        mesh = make_mesh(mesh_shape, eight_devices)
+        solver = ShardedLevelSet(mesh, phi.shape, grid.dx, overlap=True)
+        sharded = solver.reinit_step(solver.device_put(phi), phi, h)
+        single = reinit_step(phi, phi, grid.dx, h)
+        np.testing.assert_allclose(np.asarray(jax.device_get(sharded)),
+                                   np.asarray(single), atol=2e-6)
+
+    def test_overlap_solver_matches_plain(self, eight_devices):
+        grid, phi = make_phi(24, 0.1)
+        mesh = make_mesh((2, 2, 2), eight_devices)
+        plain = ShardedLevelSet(mesh, phi.shape, grid.dx)
+        over = ShardedLevelSet(mesh, phi.shape, grid.dx, overlap=True)
+        out_p, n_p, _ = plain.reinit(plain.device_put(phi), 0.01, 8, 0.0)
+        out_o, n_o, _ = over.reinit(over.device_put(phi), 0.01, 8, 0.0)
+        assert int(n_p) == int(n_o) == 8
+        np.testing.assert_allclose(np.asarray(jax.device_get(out_o)),
+                                   np.asarray(jax.device_get(out_p)),
+                                   atol=1e-6)
+
+
 class TestDryrun:
     def test_dryrun_8(self, eight_devices):
         dryrun(8)
