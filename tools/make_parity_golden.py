@@ -97,17 +97,81 @@ def make_golden(name, stl, cfg, quirk_deltas=False):
     return rows
 
 
+def save_rows(fixture, rows):
+    """Persist one fixture's quirk rows so partial runs (e.g. only the slow
+    cube40 pass) regenerate the combined table without losing the other
+    fixture's measurements."""
+    import json
+    path = os.path.join(GOLDEN_DIR, f"quirk_rows_{fixture}.json")
+    with open(path, "w") as f:
+        json.dump(rows, f, indent=1)
+        f.write("\n")
+
+
+def load_rows(fixture):
+    import json
+    path = os.path.join(GOLDEN_DIR, f"quirk_rows_{fixture}.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def write_quirk_md():
+    md = os.path.join(os.path.dirname(__file__), "..", "PARITY_QUIRKS.md")
+    with open(md, "w") as f:
+        f.write("# Per-quirk impact on the converged parity field\n\n")
+        f.write("Measured on BOTH bundled fixtures (`README.md:5`) at full "
+                "reference settings (REFERENCE_PARITY: float64, all quirks "
+                "on, full pipeline incl. smoothing + advection), toggling "
+                "each quirk OFF individually; values are max|delta| of the "
+                "converged fields vs the all-quirks-on run "
+                "(tools/make_parity_golden.py).\n")
+        for fixture, stl in (("twocube10", "twoCube10.stl"),
+                             ("cube40", "cube40.stl")):
+            rows = load_rows(fixture)
+            if rows is None:
+                continue
+            f.write(f"\n## `{stl}`\n\n")
+            f.write("| quirk | reference site | max d(init SDF) | "
+                    "max d(smoothed) | max d(advected nodes) | verdict |\n")
+            f.write("|---|---|---|---|---|---|\n")
+            for q, cite, d_init, d_sm, d_adv in rows:
+                moved = max(d_init, d_sm, d_adv)
+                verdict = ("measurably moves the converged field — keep "
+                           "the flag for parity runs" if moved > 1e-5 else
+                           "below the 1e-5 convergence tolerance — parity "
+                           "flag optional")
+                f.write(f"| `{q}` | {cite} | {d_init:.3e} | {d_sm:.3e} | "
+                        f"{d_adv:.3e} | {verdict} |\n")
+        f.write("\nDecision: the default configuration implements the "
+                "*intended* math (all quirk flags False); the "
+                "`REFERENCE_PARITY` preset keeps all flags True so the "
+                "pinned goldens reproduce the reference-as-written "
+                "behavior (SURVEY.md §2 quirks 1-3).\n")
+    print(f"wrote {md}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cube40", action="store_true",
                     help="also produce the cube40 golden (slow: "
                          "O(grid x 18k triangles) init on CPU)")
+    ap.add_argument("--cube40-quirks", action="store_true",
+                    help="measure the per-quirk impact table on cube40's "
+                         "FULL pipeline (smoothing + advection; 4 slow "
+                         "runs); skips the twocube10 pass")
+    ap.add_argument("--skip-twocube", action="store_true",
+                    help="skip the twocube10 golden + quirk pass")
     args = ap.parse_args()
 
     from levelsetfortran_tpu.config import REFERENCE_PARITY
 
-    rows = make_golden("twocube10", os.path.join(REF_DIR, "twoCube10.stl"),
-                       REFERENCE_PARITY, quirk_deltas=True)
+    if not (args.skip_twocube or args.cube40_quirks):
+        rows = make_golden("twocube10",
+                           os.path.join(REF_DIR, "twoCube10.stl"),
+                           REFERENCE_PARITY, quirk_deltas=True)
+        save_rows("twocube10", rows)
 
     if args.cube40:
         # BASELINE config 1 is the reduced SDF-only mode (README.md:25):
@@ -116,31 +180,35 @@ def main():
                                         final_reinit_iters=0)
         make_golden("cube40_sdf", os.path.join(REF_DIR, "cube40.stl"), cfg1)
 
-    md = os.path.join(os.path.dirname(__file__), "..", "PARITY_QUIRKS.md")
-    with open(md, "w") as f:
-        f.write("# Per-quirk impact on the converged parity field\n\n")
-        f.write("Measured on `twoCube10.stl` at full reference settings "
-                "(REFERENCE_PARITY: float64, all quirks on), toggling each "
-                "quirk OFF individually; values are max|delta| of the "
-                "converged fields vs the all-quirks-on golden "
-                "(tools/make_parity_golden.py).\n\n")
-        f.write("| quirk | reference site | max d(init SDF) | "
-                "max d(smoothed) | max d(advected nodes) | verdict |\n")
-        f.write("|---|---|---|---|---|---|\n")
-        for q, cite, d_init, d_sm, d_adv in rows:
-            moved = max(d_init, d_sm, d_adv)
-            verdict = ("measurably moves the converged field — keep the "
-                       "flag for parity runs" if moved > 1e-5 else
-                       "below the 1e-5 convergence tolerance — parity flag "
-                       "optional")
-            f.write(f"| `{q}` | {cite} | {d_init:.3e} | {d_sm:.3e} | "
-                    f"{d_adv:.3e} | {verdict} |\n")
-        f.write("\nDecision: the default configuration implements the "
-                "*intended* math (all quirk flags False); the "
-                "`REFERENCE_PARITY` preset keeps all flags True so the "
-                "pinned goldens reproduce the reference-as-written "
-                "behavior (SURVEY.md §2 quirks 1-3).\n")
-    print(f"wrote {md}")
+    if args.cube40_quirks:
+        # full pipeline (the deriv8_y_jp1 quirk only reaches the field
+        # through node advection, set3d.f90:470-475) — no golden is pinned
+        # for this config (the SDF-only golden stays the committed gate);
+        # only the quirk deltas are recorded
+        import dataclasses
+
+        base = run_parity(os.path.join(REF_DIR, "cube40.stl"),
+                          REFERENCE_PARITY)
+        print(f"cube40 full-pipeline base: reinit={base.reinit_iters} "
+              f"minmax={base.minmax_iters} asym={base.asymptotic_error:.4e}",
+              flush=True)
+        rows = []
+        for q, cite in QUIRKS.items():
+            q_off = dataclasses.replace(REFERENCE_PARITY.quirks,
+                                        **{q: False})
+            res = run_parity(os.path.join(REF_DIR, "cube40.stl"),
+                             REFERENCE_PARITY.replace(quirks=q_off))
+            d_init = float(np.max(np.abs(res.phi_init - base.phi_init)))
+            d_sm = float(np.max(np.abs(res.phi_smoothed
+                                       - base.phi_smoothed)))
+            d_adv = float(np.max(np.abs(res.advected - base.advected)))
+            rows.append((q, cite, d_init, d_sm, d_adv))
+            print(f"  quirk {q} off: d_init={d_init:.3e} "
+                  f"d_smoothed={d_sm:.3e} d_advected={d_adv:.3e}",
+                  flush=True)
+        save_rows("cube40", rows)
+
+    write_quirk_md()
 
 
 if __name__ == "__main__":
