@@ -56,11 +56,11 @@ def timed_min(fn, *args):
     return best
 
 
-def per_step_time(make_run, phi0):
+def per_step_time(make_run, phi0, small=SMALL_STEPS, big=BIG_STEPS):
     """Two-point overhead-cancelled per-step time."""
-    t_small = timed_min(make_run(SMALL_STEPS), phi0)
-    t_big = timed_min(make_run(BIG_STEPS), phi0)
-    return max((t_big - t_small) / (BIG_STEPS - SMALL_STEPS), 1e-9)
+    t_small = timed_min(make_run(small), phi0)
+    t_big = timed_min(make_run(big), phi0)
+    return max((t_big - t_small) / (big - small), 1e-9)
 
 
 def bench_reinit_fwd(n):
@@ -81,7 +81,15 @@ def bench_reinit_fwd(n):
 
 def bench_reinit_bwd(n):
     """Adjoint kernel GCUPS: grad-of-scan costs (fwd scan + trajectory
-    recompute + bwd scan) = 2 fwd + 1 bwd per step; subtract measured fwd."""
+    recompute + bwd scan) = 2 fwd + 1 bwd per step; subtract measured fwd.
+
+    The flat-trajectory budget is raised for the measurement so BOTH
+    two-point step counts stay in the flat-stash regime — at 256^3 the
+    default 1.5 GB budget flips the 25-step run (1.8 GB of iterates) into
+    sqrt-N checkpointing, whose extra recompute pass would contaminate
+    the slope with ~1 forward step (the production default is unchanged;
+    bench_checkpointed_grad measures the sqrt-N path itself)."""
+    from levelsetfortran_tpu.ops import weno_pallas as wp
     from levelsetfortran_tpu.ops.weno_pallas import reinit_scan_pallas
     phi0 = make_phi(n)
     dx = 2.0 / (n - 1)
@@ -102,8 +110,13 @@ def bench_reinit_bwd(n):
             return jnp.sum(grad)
         return run
 
-    t_fwd = per_step_time(make_f, phi0)
-    t_grad = per_step_time(make_g, phi0)
+    saved = wp._FLAT_TRAJ_BYTES
+    wp._FLAT_TRAJ_BYTES = max(saved, 4 * 2 ** 30)
+    try:
+        t_fwd = per_step_time(make_f, phi0)
+        t_grad = per_step_time(make_g, phi0)
+    finally:
+        wp._FLAT_TRAJ_BYTES = saved
     t_bwd = max(t_grad - 2.0 * t_fwd, 1e-9)
     return n ** 3 / t_bwd, n ** 3 / t_fwd, n ** 3 / t_grad
 
@@ -120,7 +133,144 @@ def bench_minmax(n):
             return jnp.sum(minmax_flow_fixed(p, dx, h1, steps, remat=False))
         return run
 
-    return n ** 3 / per_step_time(make, phi0)
+    # the min/max step is ~4x faster than reinit, so the default 20-step
+    # two-point delta (~5 ms) sits inside dispatch noise — the source of
+    # the r1->r2 +27% swing ADVICE.md flagged; 80 extra steps stabilize it
+    return n ** 3 / per_step_time(make, phi0, small=20, big=100)
+
+
+def bench_minmax_bwd(n):
+    """Fused min/max ADJOINT kernel GCUPS (ops/minmax_pallas.py bwd kernel);
+    same two-point decomposition (and flat-stash pinning) as
+    bench_reinit_bwd, with the longer step counts of bench_minmax."""
+    from levelsetfortran_tpu.ops import weno_pallas as wp
+    from levelsetfortran_tpu.ops.minmax_pallas import minmax_scan_pallas
+    phi0 = make_phi(n)
+    dx = 2.0 / (n - 1)
+    h1 = 0.01 * dx * dx
+
+    def make_f(steps):
+        @jax.jit
+        def run(p):
+            return jnp.sum(minmax_scan_pallas(p, dx, h1, steps))
+        return run
+
+    def make_g(steps):
+        @jax.jit
+        def run(p):
+            grad = jax.grad(lambda q: jnp.sum(
+                minmax_scan_pallas(q, dx, h1, steps)))(p)
+            return jnp.sum(grad)
+        return run
+
+    saved = wp._FLAT_TRAJ_BYTES
+    wp._FLAT_TRAJ_BYTES = max(saved, 8 * 2 ** 30)
+    try:
+        t_fwd = per_step_time(make_f, phi0, small=20, big=100)
+        t_grad = per_step_time(make_g, phi0, small=20, big=100)
+    finally:
+        wp._FLAT_TRAJ_BYTES = saved
+    t_bwd = max(t_grad - 2.0 * t_fwd, 1e-9)
+    return n ** 3 / t_bwd, n ** 3 / t_fwd
+
+
+def bench_checkpointed_grad(n, steps):
+    """End-to-end gradient of a LONG fused-scan solve — the sqrt-N
+    checkpointed reverse path (ops/weno_pallas.checkpointed_reverse) that
+    keeps a 200-step 256^3 / 50-step 512^3 gradient inside a 16 GB chip
+    (the flat trajectory stash would need ~15 GB / ~28 GB).  Reports
+    end-to-end gradient GCUPS (cells * steps / total seconds) and the
+    wall time of one full grad evaluation."""
+    from levelsetfortran_tpu.ops.weno_pallas import reinit_scan_pallas
+    phi0 = make_phi(n)
+    dx = 2.0 / (n - 1)
+    h = 0.1 * dx
+
+    @jax.jit
+    def run(p):
+        grad = jax.grad(lambda q: jnp.sum(
+            reinit_scan_pallas(q, dx, h, steps, precise=False)))(p)
+        return jnp.sum(grad)
+
+    val = float(run(phi0))                  # compile + correctness fence
+    if not jnp.isfinite(val):
+        raise FloatingPointError(f"non-finite gradient sum {val}")
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(run(phi0))
+        best = min(best, time.perf_counter() - t0)
+    return n ** 3 * steps / best, best
+
+
+def bench_narrowband_flat(shape):
+    """Narrow-band speedup on FLAT/SPARSE geometry (the twoCube10 class:
+    two small bodies far apart, most x-y tile columns never meet the band
+    — ROOFLINE.md predicts reference-like narrow-band economics here, vs
+    the ~2x bound for compact geometry)."""
+    from levelsetfortran_tpu.solvers.reinit import reinit, reinit_narrowband
+    nx, ny, nz = shape
+    xs = jnp.linspace(-2.0, 2.0, nx, dtype=jnp.float32)
+    ys = jnp.linspace(-0.5, 0.5, ny, dtype=jnp.float32)
+    zs = jnp.linspace(-0.5, 0.5, nz, dtype=jnp.float32)
+    gx, gy, gz = jnp.meshgrid(xs, ys, zs, indexing="ij")
+    s1 = jnp.sqrt((gx + 1.6) ** 2 + gy ** 2 + gz ** 2) - 0.2
+    s2 = jnp.sqrt((gx - 1.6) ** 2 + gy ** 2 + gz ** 2) - 0.2
+    phi0 = jnp.minimum(s1, s2)
+    dx = float(xs[1] - xs[0])
+    h = 0.1 * dx
+
+    def make_dense(steps):
+        @jax.jit
+        def run(p):
+            r = reinit(p, dx, h, steps, 0.0)
+            return jnp.sum(r.phi)
+        return run
+
+    def make_nb(steps):
+        @jax.jit
+        def run(p):
+            r = reinit_narrowband(p, dx, h, steps, 0.0, band_radius=8.1,
+                                  refresh_every=5)
+            return jnp.sum(r.phi)
+        return run
+
+    t_dense = per_step_time(make_dense, phi0)
+    t_nb = per_step_time(make_nb, phi0)
+    return t_dense / t_nb
+
+
+def bench_sharded_overhead(n):
+    """Single-chip domain-decomposition overhead: the sharded solver
+    (mesh (1,1,1): shard_map + halo pad + while_loop + RMS psum each step)
+    vs the raw fused scan — quantifies what the sharded layer costs per
+    step before any real ICI traffic (VERDICT r2 weak #8)."""
+    from levelsetfortran_tpu.ops.weno_pallas import reinit_scan_pallas
+    from levelsetfortran_tpu.parallel.mesh import make_mesh
+    from levelsetfortran_tpu.parallel.sharded import ShardedLevelSet
+    phi0 = make_phi(n)
+    dx = 2.0 / (n - 1)
+    h = 0.1 * dx
+    mesh = make_mesh((1, 1, 1), jax.devices()[:1])
+    solver = ShardedLevelSet(mesh, phi0.shape, dx)
+    phi_dev = solver.device_put(phi0)
+
+    def make_sharded(steps):
+        def run(p):
+            out, it, rms = solver.reinit(p, h, steps, 0.0)
+            return float(jnp.sum(out[:16, :16, :16]))
+        return run
+
+    def make_direct(steps):
+        @jax.jit
+        def run(p):
+            return jnp.sum(
+                reinit_scan_pallas(p, dx, h, steps, precise=False))
+        return run
+
+    t_sh = per_step_time(make_sharded, phi_dev)
+    t_di = per_step_time(make_direct, phi0)
+    return t_sh / t_di, n ** 3 / t_sh
 
 
 def bench_narrowband(n):
@@ -158,7 +308,10 @@ def bench_narrowband(n):
 def main():
     detail = {"device": jax.devices()[0].device_kind,
               "reps": REPS, "method": "min-of-reps, two-point overhead"
-                                      " cancellation"}
+                                      " cancellation",
+              "note": "timings go through the axon relay on a shared host;"
+                      " min-of-reps still carries ~5-10% run-to-run spread"
+                      " — treat cross-round deltas below that as noise"}
 
     # north star (must succeed; jnp fallback inside reinit_fixed if the
     # fused kernel cannot compile in this environment)
@@ -183,7 +336,12 @@ def main():
         ("reinit_bwd_256", lambda: bench_reinit_bwd(256)),
         ("reinit_fwd_512", lambda: bench_reinit_fwd(512)),
         ("minmax_256", lambda: bench_minmax(256)),
+        ("minmax_bwd_256", lambda: bench_minmax_bwd(256)),
         ("narrowband_256", lambda: bench_narrowband(256)),
+        ("narrowband_flat", lambda: bench_narrowband_flat((256, 64, 64))),
+        ("grad200_256", lambda: bench_checkpointed_grad(256, 200)),
+        ("grad50_512", lambda: bench_checkpointed_grad(512, 50)),
+        ("sharded_1chip", lambda: bench_sharded_overhead(256)),
     ]:
         try:
             if name == "reinit_bwd_256":
@@ -191,10 +349,25 @@ def main():
                 detail["reinit_bwd_256_cups"] = bwd
                 detail["reinit_grad_256_cups"] = grad
                 detail["bwd_over_fwd"] = bwd / fwd
+            elif name == "minmax_bwd_256":
+                bwd, fwd = fn()
+                detail["minmax_bwd_256_cups"] = bwd
+                detail["minmax_bwd_over_fwd"] = bwd / fwd
             elif name == "narrowband_256":
                 speedup, nb_cups = fn()
                 detail["narrowband_speedup_256"] = speedup
                 detail["reinit_nb_256_cups"] = nb_cups
+            elif name == "narrowband_flat":
+                detail["narrowband_speedup_flat_256x64x64"] = fn()
+            elif name.startswith("grad"):
+                cups, secs = fn()
+                detail[name + "_cups"] = cups
+                detail[name + "_seconds"] = secs
+            elif name == "sharded_1chip":
+                # NB: do not rebind `cups` (the north-star value)
+                sh_ratio, sh_cups = fn()
+                detail["sharded_1chip_overhead"] = sh_ratio
+                detail["sharded_1chip_cups"] = sh_cups
             else:
                 detail[name + "_cups"] = fn()
         except Exception as e:          # record, never fail the run
@@ -202,6 +375,7 @@ def main():
 
     with open("BENCH_DETAIL.json", "w") as f:
         json.dump(detail, f, indent=2)
+        f.write("\n")
 
     print(json.dumps({
         "metric": "weno5_reinit_cell_updates_per_sec_2563",

@@ -1034,10 +1034,17 @@ def _pick_bwd_tile(pad_shape, tile):
     temporaries, so the y tile shrinks below the forward's 64 to bound
     register-allocator spills; the r3 hand-adjoint sweep at 256^3 measured
     (8, 32) fastest (10.5 ms/step vs 10.9 at both (8, 16) and (8, 8), 11.5
-    at (16, 16))."""
+    at (16, 16)).  Every live temporary scales with ty*nzp (z is whole per
+    tile), so the y tile halves as nzp doubles past 256 — (8, 32) at
+    nzp=512 exceeds physical VMEM and kills the Mosaic compile."""
     tx, ty = tile
     nyp = pad_shape[1] - 2 * YA
+    nzp = pad_shape[2]
+    budget = 32 * 256            # ty*nzp of the measured-best 256^3 config
     for tyb in (32, 16, 8):
+        if nyp % tyb == 0 and tyb * nzp <= budget:
+            return (tx, tyb)
+    for tyb in (32, 16, 8):      # tiny grids: keep divisibility
         if nyp % tyb == 0:
             return (tx, tyb)
     return (tx, ty)
