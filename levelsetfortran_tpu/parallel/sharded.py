@@ -784,6 +784,14 @@ def dryrun(n_devices: int) -> None:
     phi2.block_until_ready()
     assert np.isfinite(float(rms3))
 
+    # exchange/compute-overlap path: interior pass runs concurrently with
+    # the ppermutes, shells recomputed from the arrived pad
+    solver_ov = ShardedLevelSet(mesh, gshape, dx, overlap=True)
+    phi_ov, _, rms_ov = solver_ov.reinit(solver_ov.device_put(phi0), h,
+                                         iters=2, tol=0.0)
+    phi_ov.block_until_ready()
+    assert np.isfinite(float(rms_ov))
+
     # fused-Pallas local blocks over the AUTO mesh: auto_mesh must pick a
     # z-whole (a, b, 1) decomposition and the solver must actually route
     # to the kernel on it (VERDICT r2 weak #5)
