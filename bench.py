@@ -205,17 +205,23 @@ def bench_checkpointed_grad(n, steps):
 
 def bench_narrowband_flat(shape):
     """Narrow-band speedup on FLAT/SPARSE geometry (the twoCube10 class:
-    two small bodies far apart, most x-y tile columns never meet the band
-    — ROOFLINE.md predicts reference-like narrow-band economics here, vs
-    the ~2x bound for compact geometry)."""
+    two small bodies far apart along x, most tile columns never meet the
+    band — ROOFLINE.md predicts reference-like narrow-band economics
+    here, vs the ~2x skip bound for compact geometry).
+
+    The fixture is sized comparably to the 256^3 compact case (12.6M
+    cells) so the per-step work is well above dispatch noise, and the
+    long axis stays in the TILED dims (identity layout: every axis is
+    already lane/sublane aligned) where the activity mask can exploit
+    its sparsity — see weno_pallas.banded_axis_order."""
     from levelsetfortran_tpu.solvers.reinit import reinit, reinit_narrowband
     nx, ny, nz = shape
-    xs = jnp.linspace(-2.0, 2.0, nx, dtype=jnp.float32)
+    xs = jnp.linspace(-3.0, 3.0, nx, dtype=jnp.float32)
     ys = jnp.linspace(-0.5, 0.5, ny, dtype=jnp.float32)
     zs = jnp.linspace(-0.5, 0.5, nz, dtype=jnp.float32)
     gx, gy, gz = jnp.meshgrid(xs, ys, zs, indexing="ij")
-    s1 = jnp.sqrt((gx + 1.6) ** 2 + gy ** 2 + gz ** 2) - 0.2
-    s2 = jnp.sqrt((gx - 1.6) ** 2 + gy ** 2 + gz ** 2) - 0.2
+    s1 = jnp.sqrt((gx + 2.5) ** 2 + gy ** 2 + gz ** 2) - 0.2
+    s2 = jnp.sqrt((gx - 2.5) ** 2 + gy ** 2 + gz ** 2) - 0.2
     phi0 = jnp.minimum(s1, s2)
     dx = float(xs[1] - xs[0])
     h = 0.1 * dx
@@ -235,8 +241,8 @@ def bench_narrowband_flat(shape):
             return jnp.sum(r.phi)
         return run
 
-    t_dense = per_step_time(make_dense, phi0)
-    t_nb = per_step_time(make_nb, phi0)
+    t_dense = per_step_time(make_dense, phi0, small=10, big=50)
+    t_nb = per_step_time(make_nb, phi0, small=10, big=50)
     return t_dense / t_nb
 
 
@@ -338,7 +344,7 @@ def main():
         ("minmax_256", lambda: bench_minmax(256)),
         ("minmax_bwd_256", lambda: bench_minmax_bwd(256)),
         ("narrowband_256", lambda: bench_narrowband(256)),
-        ("narrowband_flat", lambda: bench_narrowband_flat((256, 64, 64))),
+        ("narrowband_flat", lambda: bench_narrowband_flat((768, 128, 128))),
         ("grad200_256", lambda: bench_checkpointed_grad(256, 200)),
         ("grad50_512", lambda: bench_checkpointed_grad(512, 50)),
         ("sharded_1chip", lambda: bench_sharded_overhead(256)),
@@ -358,7 +364,7 @@ def main():
                 detail["narrowband_speedup_256"] = speedup
                 detail["reinit_nb_256_cups"] = nb_cups
             elif name == "narrowband_flat":
-                detail["narrowband_speedup_flat_256x64x64"] = fn()
+                detail["narrowband_speedup_flat_768x128x128"] = fn()
             elif name.startswith("grad"):
                 cups, secs = fn()
                 detail[name + "_cups"] = cups

@@ -972,6 +972,42 @@ def inverse_perm(perm) -> Tuple[int, int, int]:
     return tuple(inv)
 
 
+def banded_axis_order(phi, dx, band_radius, margin_cells,
+                      tile=(8, 16)) -> Tuple[int, int, int]:
+    """Axis permutation for NARROW-BAND solves.
+
+    :func:`best_axis_order` minimizes dense padded volume, which sends the
+    longest axis into lanes — but the tile skip granularity is a (tx, ty)
+    column spanning the WHOLE lane axis, so band sparsity along the lane
+    axis is unusable.  Flat geometry (the twoCube10 class: small bodies far
+    apart along one long axis) wants that sparse axis TILED even at the
+    price of lane padding: padded-volume growth lands almost entirely in
+    tiles the activity mask skips.
+
+    Minimizes estimated banded cost = (tile-quantized occupancy of the
+    band's projection onto the tiled axes) x (padded volume).  Requires a
+    CONCRETE ``phi`` (data-dependent layout choice at dispatch time);
+    callers pass a tracer through :func:`best_axis_order` instead.
+    """
+    import itertools
+    a = jnp.abs(phi) < (band_radius + margin_cells) * dx
+    tx, ty = tile
+    best, best_cost = (0, 1, 2), None
+    for perm in itertools.permutations((0, 1, 2)):
+        s = [phi.shape[p] for p in perm]
+        vol = (-(-s[0] // 8) * 8) * (-(-s[1] // 8) * 8) \
+            * (-(-s[2] // ZALIGN) * ZALIGN)
+        proj = jnp.any(jnp.transpose(a, perm), axis=2)
+        nbx, nby = -(-s[0] // tx), -(-s[1] // ty)
+        pp = jnp.pad(proj, ((0, nbx * tx - s[0]), (0, nby * ty - s[1])))
+        occ = float(jnp.mean(jnp.max(
+            pp.reshape(nbx, tx, nby, ty), axis=(1, 3)).astype(jnp.float32)))
+        cost = max(occ, 1e-3) * vol
+        if best_cost is None or cost < 0.98 * best_cost:
+            best, best_cost = perm, cost
+    return best
+
+
 def pad_zero_for_pallas(g, tile):
     """Zero-pad a cotangent into the padded layout: junk outputs (aprons,
     round-up region) must receive ZERO cotangent, not edge copies."""

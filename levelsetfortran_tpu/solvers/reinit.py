@@ -177,14 +177,12 @@ def reinit(phi0, dx, h, iters: int, tol, *, sign_src=None, eps_scale=1e-6,
                         diverged=jnp.isnan(rms))
 
 
-@partial(jax.jit, static_argnames=("iters", "refresh_every", "eps_scale",
-                                   "eps_floor", "quirk_y_p5_zero",
-                                   "use_pallas", "precise", "metrics_every"))
 def reinit_narrowband(phi0, dx, h, iters: int, tol, *, band_radius=8.1,
                       refresh_every: int = 8, sign_src=None, eps_scale=1e-6,
                       eps_floor=None, quirk_y_p5_zero=False,
                       use_pallas="auto", precise=False,
-                      metrics_every: int = 0) -> ReinitResult:
+                      metrics_every: int = 0,
+                      axis_order=None) -> ReinitResult:
     """Narrow-band reinitialization (BASELINE config 3).
 
     The TPU analogue of the reference's narrow-band masks
@@ -209,28 +207,64 @@ def reinit_narrowband(phi0, dx, h, iters: int, tol, *, band_radius=8.1,
     tile-granular skip follows the band geometry more closely; skipped
     tiles also skip their stencil-window DMAs.
 
+    ``axis_order`` overrides the layout permutation.  By default, CONCRETE
+    inputs get a band-aware layout (``weno_pallas.banded_axis_order``):
+    the tile skip granularity is a whole lane-axis column, so band
+    sparsity along the lane axis is unusable — flat geometry (the
+    twoCube10 class) wants its long sparse axis TILED even at the price
+    of lane padding, since the padding lands in tiles the activity mask
+    skips.  Traced inputs (called under an outer jit) fall back to the
+    dense-volume-optimal order.
+
     Falls back to the dense jnp solver when the fused kernel doesn't apply.
     """
-    shape = phi0.shape
     if not _use_pallas(use_pallas, phi0, None):
         return reinit(phi0, dx, h, iters, tol, sign_src=sign_src,
                       eps_scale=eps_scale, eps_floor=eps_floor,
                       quirk_y_p5_zero=quirk_y_p5_zero, use_pallas=False,
                       precise=precise, metrics_every=metrics_every)
-
     from ..ops import weno_pallas as wp
-    perm = (0, 1, 2) if quirk_y_p5_zero else wp.best_axis_order(shape)
+    concrete = not any(isinstance(v, jax.core.Tracer) for v in (phi0, dx, h))
+    if axis_order is not None:
+        perm = tuple(axis_order)
+    elif quirk_y_p5_zero:
+        perm = (0, 1, 2)
+    elif concrete:
+        perm = wp.banded_axis_order(phi0, dx, band_radius,
+                                    refresh_every * h / dx)
+    else:
+        perm = wp.best_axis_order(phi0.shape)   # no data to inspect
+    p = phi0 if perm == (0, 1, 2) else jnp.transpose(phi0, perm)
+    s = sign_src
+    if s is not None and perm != (0, 1, 2):
+        s = jnp.transpose(jnp.asarray(s, phi0.dtype), perm)
+    r = _reinit_narrowband_core(
+        p, dx, h, iters, tol, band_radius=band_radius,
+        refresh_every=refresh_every, sign_src=s, eps_scale=eps_scale,
+        eps_floor=eps_floor, quirk_y_p5_zero=quirk_y_p5_zero,
+        use_pallas=use_pallas, precise=precise,
+        metrics_every=metrics_every)
     if perm != (0, 1, 2):
-        r = reinit_narrowband(
-            jnp.transpose(phi0, perm), dx, h, iters, tol,
-            band_radius=band_radius, refresh_every=refresh_every,
-            sign_src=(None if sign_src is None
-                      else jnp.transpose(jnp.asarray(sign_src, phi0.dtype),
-                                         perm)),
-            eps_scale=eps_scale, eps_floor=eps_floor,
-            quirk_y_p5_zero=quirk_y_p5_zero, use_pallas=use_pallas,
-            precise=precise, metrics_every=metrics_every)
-        return r._replace(phi=jnp.transpose(r.phi, wp.inverse_perm(perm)))
+        r = r._replace(phi=jnp.transpose(r.phi, wp.inverse_perm(perm)))
+    return r
+
+
+@partial(jax.jit, static_argnames=("iters", "refresh_every", "eps_scale",
+                                   "eps_floor", "quirk_y_p5_zero",
+                                   "use_pallas", "precise", "metrics_every"))
+def _reinit_narrowband_core(phi0, dx, h, iters: int, tol, *, band_radius,
+                            refresh_every: int, sign_src, eps_scale,
+                            eps_floor, quirk_y_p5_zero, use_pallas,
+                            precise, metrics_every) -> ReinitResult:
+    """Jitted banded while_loop on an ALREADY laid-out grid (identity
+    axis order; the public wrapper chooses the permutation)."""
+    from ..ops import weno_pallas as wp
+    shape = phi0.shape
+    if not _use_pallas(use_pallas, phi0, None):   # e.g. tiny permuted axes
+        return reinit(phi0, dx, h, iters, tol, sign_src=sign_src,
+                      eps_scale=eps_scale, eps_floor=eps_floor,
+                      quirk_y_p5_zero=quirk_y_p5_zero, use_pallas=False,
+                      precise=precise, metrics_every=metrics_every)
     eps_floor_r, tile, interpret = wp._resolve(phi0, eps_floor, None, None)
     tile = (tile[0], min(tile[1], 16))
     dxa = jnp.asarray(dx, phi0.dtype)
