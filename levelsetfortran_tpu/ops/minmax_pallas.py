@@ -40,13 +40,17 @@ def _jnp_step(phi, dx, h1, band_radius, threshold):
     return jnp.where(nb & interior_mask(phi.shape, 1), phi + h1 * f, phi)
 
 
-def _make_kernel(gshape, tile, nzp):
+def _make_kernel(gshape, tile, nzp, with_rms=False):
     nx, ny, nz = gshape          # TRUE grid shape: bounds for global masks
     tx, ty = tile
     wx, wy = tx + 2, ty + 2 * YA
 
     def kernel(dx_ref, h1_ref, br_ref, th_ref, ox_ref, oy_ref,
-               phi_hbm, out_hbm, slab, oslab, in_sems, out_sems):
+               phi_hbm, out_hbm, *rest):
+        if with_rms:
+            rms_ref, slab, oslab, in_sems, out_sems, racc = rest
+        else:
+            slab, oslab, in_sems, out_sems = rest
         bi = pl.program_id(0)
         bj = pl.program_id(1)
         nby = pl.num_programs(1)
@@ -111,6 +115,19 @@ def _make_kernel(gshape, tile, nzp):
         nb = jnp.abs(c) < band_radius * dx
         res = jnp.where(nb & interior, c + h1 * f, c)
 
+        if with_rms:
+            # fused convergence reduction: res == c outside nb & interior,
+            # so no extra validity mask is needed
+            d = res - c
+            dsq = jnp.sum(d * d)
+
+            @pl.when(lin == 0)
+            def _():
+                racc[0] = jnp.zeros((), res.dtype)
+
+            racc[0] += dsq
+            rms_ref[0, 0] = racc[0]
+
         @pl.when(lin >= 2)
         def _():
             out_dma(slot, lin - 2).wait()
@@ -134,13 +151,16 @@ def _pick_tile(gshape):
     return 8, min(ty, 128)
 
 
-@functools.partial(jax.jit, static_argnames=("gshape", "tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("gshape", "tile", "interpret",
+                                             "with_rms"))
 def minmax_step_padded(phi_pad, dx, h1, band_radius, threshold, *, gshape,
-                       tile, interpret, offsets=None):
+                       tile, interpret, offsets=None, with_rms=False):
     """One min/max Euler step on a padded-layout array.
 
     ``offsets`` (ox, oy): this block's global origin — (0, 0) single-device,
-    the shard offset under domain decomposition."""
+    the shard offset under domain decomposition.  ``with_rms=True`` returns
+    ``(out, dsq)`` with the in-kernel sum of squared cell changes (see
+    weno_pallas._pallas_step_padded)."""
     nx, ny, nz = gshape
     tx, ty = tile
     nxp = phi_pad.shape[0] - 2 * XA
@@ -148,7 +168,7 @@ def minmax_step_padded(phi_pad, dx, h1, band_radius, threshold, *, gshape,
     nzp = phi_pad.shape[2]
     if offsets is None:
         offsets = (jnp.int32(0), jnp.int32(0))
-    kernel, (wx, wy) = _make_kernel(gshape, tile, nzp)
+    kernel, (wx, wy) = _make_kernel(gshape, tile, nzp, with_rms=with_rms)
     scalar = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                           memory_space=pltpu.SMEM)
     itemsize = phi_pad.dtype.itemsize
@@ -162,19 +182,27 @@ def minmax_step_padded(phi_pad, dx, h1, band_radius, threshold, *, gshape,
 
     int_scalar = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                               memory_space=pltpu.SMEM)
-    return pl.pallas_call(
+    out_shape = jax.ShapeDtypeStruct(phi_pad.shape, dt)
+    out_specs = pl.BlockSpec(memory_space=pl.ANY)
+    scratch = [
+        pltpu.VMEM((2, wx, wy, nzp), dt),
+        pltpu.VMEM((2, tx, ty, nzp), dt),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if with_rms:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((1, 1), dt))
+        out_specs = (out_specs, pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                                             memory_space=pltpu.SMEM))
+        scratch = scratch + [pltpu.SMEM((1,), dt)]
+    res = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(phi_pad.shape, dt),
+        out_shape=out_shape,
         grid=(nxp // tx, nyp // ty),
         in_specs=[scalar, scalar, scalar, scalar, int_scalar, int_scalar,
                   pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((2, wx, wy, nzp), dt),
-            pltpu.VMEM((2, tx, ty, nzp), dt),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=int(vmem_limit),
@@ -183,6 +211,9 @@ def minmax_step_padded(phi_pad, dx, h1, band_radius, threshold, *, gshape,
     )(s(dx), s(h1), s(band_radius), s(threshold),
       jnp.reshape(jnp.asarray(offsets[0], jnp.int32), (1, 1)),
       jnp.reshape(jnp.asarray(offsets[1], jnp.int32), (1, 1)), phi_pad)
+    if with_rms:
+        return res[0], res[1][0, 0]
+    return res
 
 
 def minmax_pallas_applicable(phi, avg_halfwidth, use_true_curvature) -> bool:

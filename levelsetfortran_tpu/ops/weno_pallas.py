@@ -732,10 +732,17 @@ def _tile_step_values(win, swin, dx, h, gx0, gy0, *, gshape, tile, rim,
 
 
 def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
-                 ratio_floor, precise=True, ring=True, banded=False):
+                 ratio_floor, precise=True, ring=True, banded=False,
+                 with_rms=False):
     """Padded-in / padded-out kernel.  Both phi and out use the
     (nxp + 2*XA, nyp + 2*YA, nzp) layout; out aprons are left unwritten.
     ``nzp`` is the lane-aligned z extent; masks use the TRUE ``gshape``.
+
+    ``with_rms=True`` adds a scalar SMEM output: the sum over TRUE grid
+    cells of ``(out - in)^2``, accumulated across tiles — the solver's
+    per-step convergence check fused into the step (both tiles are
+    already in VMEM, so the two full-grid HBM passes a separate RMS
+    reduction would cost become free).
 
     ``ring=False`` computes on the bare tile (no +1 BC ring, ~22% less VPU
     work): sound ONLY when no global face lands on the first row/col of a
@@ -760,8 +767,12 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
         if banded:
             active_ref = rest[0]
             rest = rest[1:]
-        (phi_hbm, sign_hbm, out_hbm,
-         pslab, sslab, oslab, in_sems, out_sems) = rest
+        if with_rms:
+            (phi_hbm, sign_hbm, out_hbm, rms_ref,
+             pslab, sslab, oslab, in_sems, out_sems, racc) = rest
+        else:
+            (phi_hbm, sign_hbm, out_hbm,
+             pslab, sslab, oslab, in_sems, out_sems) = rest
         bi = pl.program_id(0)
         bj = pl.program_id(1)
         nby = pl.num_programs(1)
@@ -876,6 +887,27 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
                 lambda: pslab[slot, XA:XA + tx, YA:YA + ty, :])
         else:
             out_tile = compute()
+
+        if with_rms:
+            nx_, ny_, nz_ = gshape
+            ogx = (gx0 + rim
+                   + jax.lax.broadcasted_iota(jnp.int32, (tx, 1, 1), 0))
+            ogy = (gy0 + rim
+                   + jax.lax.broadcasted_iota(jnp.int32, (1, ty, 1), 1))
+            ogz = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nzp), 2)
+            ovalid = ((ogx >= 0) & (ogx < nx_) & (ogy >= 0) & (ogy < ny_)
+                      & (ogz < nz_))
+            d = jnp.where(ovalid,
+                          out_tile - pslab[slot, XA:XA + tx, YA:YA + ty, :],
+                          0.0)
+            dsq = jnp.sum(d * d)
+
+            @pl.when(lin == 0)
+            def _():
+                racc[0] = jnp.zeros((), out_tile.dtype)
+
+            racc[0] += dsq
+            rms_ref[0, 0] = racc[0]
 
         # write-back: wait for this slot's previous write, then start ours;
         # drain both slots on the last block.
@@ -1341,10 +1373,11 @@ def _pallas_bwd_padded(phi_pad, sign_pad, g_pad, dx, h, *, gshape, eps_scale,
 
 @functools.partial(jax.jit, static_argnames=(
     "gshape", "eps_scale", "eps_floor", "quirk_y_p5_zero", "tile",
-    "interpret", "precise"))
+    "interpret", "precise", "with_rms"))
 def _pallas_step_padded(phi_pad, sign_pad, dx, h, *, gshape, eps_scale,
                         eps_floor, quirk_y_p5_zero, tile, interpret,
-                        precise=True, offsets=None, active=None):
+                        precise=True, offsets=None, active=None,
+                        with_rms=False):
     """One step on padded-layout arrays; output aprons are undefined.
 
     ``gshape`` is the TRUE GLOBAL grid shape (mask bounds).  ``offsets``
@@ -1355,6 +1388,10 @@ def _pallas_step_padded(phi_pad, sign_pad, dx, h, *, gshape, eps_scale,
     ``active`` (optional, (nbx, nby) int32) enables narrow-band execution:
     tiles with ``active == 0`` skip the step and keep their owned cells
     unchanged (see :func:`tile_activity`).
+
+    ``with_rms=True`` returns ``(out, dsq)`` where ``dsq`` is the scalar
+    sum of squared owned-cell changes, accumulated INSIDE the kernel —
+    the solver's convergence check for free (no extra HBM passes).
     """
     nx, ny, nz = gshape
     tx, ty = tile
@@ -1369,7 +1406,8 @@ def _pallas_step_padded(phi_pad, sign_pad, dx, h, *, gshape, eps_scale,
     banded = active is not None
     kernel, (wx, wy), ex = _make_kernel(
         gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
-        ratio_floor, precise=precise or interpret, ring=ring, banded=banded)
+        ratio_floor, precise=precise or interpret, ring=ring, banded=banded,
+        with_rms=with_rms)
 
     scalar_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM)
@@ -1396,25 +1434,38 @@ def _pallas_step_padded(phi_pad, sign_pad, dx, h, *, gshape, eps_scale,
     in_specs += [pl.BlockSpec(memory_space=pl.ANY),
                  pl.BlockSpec(memory_space=pl.ANY)]
     args += [phi_pad, sign_pad]
-    return pl.pallas_call(
+    out_shape = jax.ShapeDtypeStruct(phi_pad.shape, phi_pad.dtype)
+    out_specs = pl.BlockSpec(memory_space=pl.ANY)
+    scratch = [
+        pltpu.VMEM((2, wx, wy, nzp), phi_pad.dtype),
+        pltpu.VMEM((2, ex, wy, nzp), phi_pad.dtype),
+        pltpu.VMEM((2, tx, ty, nzp), phi_pad.dtype),
+        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if with_rms:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((1, 1), phi_pad.dtype))
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                                  memory_space=pltpu.SMEM))
+        scratch = scratch + [pltpu.SMEM((1,), phi_pad.dtype)]
+    res = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(phi_pad.shape, phi_pad.dtype),
+        out_shape=out_shape,
         grid=(nxp // tx, nyp // ty),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((2, wx, wy, nzp), phi_pad.dtype),
-            pltpu.VMEM((2, ex, wy, nzp), phi_pad.dtype),
-            pltpu.VMEM((2, tx, ty, nzp), phi_pad.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=vmem_limit,
         ),
         interpret=interpret,
     )(*args)
+    if with_rms:
+        return res[0], res[1][0, 0]
+    return res
 
 
 # ------------------------------ public API ------------------------------

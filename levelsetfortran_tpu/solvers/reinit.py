@@ -131,14 +131,19 @@ def reinit(phi0, dx, h, iters: int, tol, *, sign_src=None, eps_scale=1e-6,
                     else wp.pad_for_pallas(jnp.asarray(sign_src, phi0.dtype),
                                            tile))
 
+        denom = (shape[0] - 1) * (shape[1] - 1) * (shape[2] - 1)
+
         def body(state):
             p, _, n, _, _ = state
-            new = wp._pallas_step_padded(
+            # the convergence reduction is fused INTO the kernel (both
+            # iterates are already in VMEM per tile) — a separate _rms
+            # would cost two extra full-grid HBM passes per step
+            new, dsq = wp._pallas_step_padded(
                 p, sign_pad, dxa, ha, gshape=shape, eps_scale=eps_scale,
                 eps_floor=eps_floor_r, quirk_y_p5_zero=quirk_y_p5_zero,
-                tile=tile, interpret=interpret, precise=precise)
-            rms = _rms(wp.crop_from_pallas(new, shape),
-                       wp.crop_from_pallas(p, shape), shape)
+                tile=tile, interpret=interpret, precise=precise,
+                with_rms=True)
+            rms = jnp.sqrt(dsq / denom)
             emit_iteration("reinit", metrics_every, n + 1, rms,
                            cells=shape[0] * shape[1] * shape[2])
             done = (rms < tol) | jnp.isnan(rms)
@@ -285,17 +290,24 @@ def _reinit_narrowband_core(phi0, dx, h, iters: int, tol, *, band_radius,
             eps_floor=eps_floor_r, quirk_y_p5_zero=quirk_y_p5_zero,
             tile=tile, interpret=interpret, precise=precise, active=active)
 
+    denom = (shape[0] - 1) * (shape[1] - 1) * (shape[2] - 1)
+
     def body(state):
         p, n, _, _ = state
         active = refresh(p)
 
-        def inner(_, carry):
-            prev, cur = carry
-            return (cur, step(cur, active))
+        def inner(_, cur):
+            return step(cur, active)
 
-        prev, cur = jax.lax.fori_loop(0, refresh_every, inner, (p, p))
-        rms = _rms(wp.crop_from_pallas(cur, shape),
-                   wp.crop_from_pallas(prev, shape), shape)
+        cur = jax.lax.fori_loop(0, refresh_every - 1, inner, p)
+        # final step of the chunk carries the fused in-kernel convergence
+        # reduction — the chunk RMS is exactly the last step's delta
+        cur, dsq = wp._pallas_step_padded(
+            cur, sign_pad, dxa, ha, gshape=shape, eps_scale=eps_scale,
+            eps_floor=eps_floor_r, quirk_y_p5_zero=quirk_y_p5_zero,
+            tile=tile, interpret=interpret, precise=precise, active=active,
+            with_rms=True)
+        rms = jnp.sqrt(dsq / denom)
         emit_iteration("reinit_narrowband", metrics_every,
                        n + refresh_every, rms,
                        band_tiles=jnp.sum(active),
