@@ -80,8 +80,9 @@ def bench_reinit_fwd(n):
 
 
 def bench_reinit_bwd(n):
-    """Adjoint kernel GCUPS: grad-of-scan costs (fwd scan + trajectory
-    recompute + bwd scan) = 2 fwd + 1 bwd per step; subtract measured fwd.
+    """Adjoint kernel GCUPS: in the flat-stash regime grad-of-scan costs
+    (fwd scan with trajectory stash + bwd scan) = 1 fwd + 1 bwd per step;
+    subtract the measured fwd slope.
 
     The flat-trajectory budget is raised for the measurement so BOTH
     two-point step counts stay in the flat-stash regime — at 256^3 the
@@ -117,7 +118,9 @@ def bench_reinit_bwd(n):
         t_grad = per_step_time(make_g, phi0)
     finally:
         wp._FLAT_TRAJ_BYTES = saved
-    t_bwd = max(t_grad - 2.0 * t_fwd, 1e-9)
+    # flat-stash regime: the forward scan stashes the trajectory, so the
+    # gradient slope is 1 fwd + 1 bwd per step (no recompute pass)
+    t_bwd = max(t_grad - t_fwd, 1e-9)
     return n ** 3 / t_bwd, n ** 3 / t_fwd, n ** 3 / t_grad
 
 
@@ -170,7 +173,8 @@ def bench_minmax_bwd(n):
         t_grad = per_step_time(make_g, phi0, small=20, big=100)
     finally:
         wp._FLAT_TRAJ_BYTES = saved
-    t_bwd = max(t_grad - 2.0 * t_fwd, 1e-9)
+    # flat-stash regime: gradient slope = 1 fwd + 1 bwd (see above)
+    t_bwd = max(t_grad - t_fwd, 1e-9)
     return n ** 3 / t_bwd, n ** 3 / t_fwd
 
 

@@ -476,9 +476,23 @@ def _fused_scan(phi0, dx, h1, band_radius, threshold, steps, tile,
 
 def _fused_scan_fwd(phi0, dx, h1, band_radius, threshold, steps, tile,
                     interpret):
+    from .weno_pallas import _FLAT_TRAJ_BYTES
+    gshape = phi0.shape
+    phi_pad = pad_for_pallas(phi0, tile)
+    if steps * phi_pad.size * phi_pad.dtype.itemsize <= _FLAT_TRAJ_BYTES:
+        # stash the trajectory during the forward scan: backward skips
+        # its recompute pass (1 fwd + 1 bwd per step instead of 2 + 1)
+        def step(p, _):
+            out = minmax_step_padded(p, dx, h1, band_radius, threshold,
+                                     gshape=gshape, tile=tile,
+                                     interpret=interpret)
+            return out, p
+        phi_end, traj = jax.lax.scan(step, phi_pad, None, length=steps)
+        return (crop_from_pallas(phi_end, gshape),
+                (phi0, dx, h1, band_radius, threshold, traj))
     out = _fused_scan(phi0, dx, h1, band_radius, threshold, steps, tile,
                       interpret)
-    return out, (phi0, dx, h1, band_radius, threshold)
+    return out, (phi0, dx, h1, band_radius, threshold, None)
 
 
 def _fused_scan_bwd(steps, tile, interpret, res, g):
@@ -488,7 +502,7 @@ def _fused_scan_bwd(steps, tile, interpret, res, g):
     (``weno_pallas.checkpointed_reverse``).  Replaces the r1-style jnp-step
     replay VJP (VERDICT r2 weak #3)."""
     from .weno_pallas import checkpointed_reverse, pad_zero_for_pallas
-    phi0, dx, h1, band_radius, threshold = res
+    phi0, dx, h1, band_radius, threshold, traj = res
     gshape = phi0.shape
     phi_pad0 = pad_for_pallas(phi0, tile)
     kw = dict(gshape=gshape, tile=tile, interpret=interpret)
@@ -504,9 +518,14 @@ def _fused_scan_bwd(steps, tile, interpret, res, g):
 
     zero = jnp.zeros((), phi0.dtype)
     carry0 = (pad_zero_for_pallas(g, tile), zero, zero)
-    gp, cdx, ch1 = checkpointed_reverse(
-        fstep, bstep, phi_pad0, carry0, steps,
-        phi_pad0.size * phi_pad0.dtype.itemsize)
+    if traj is not None:
+        (gp, cdx, ch1), _ = jax.lax.scan(
+            lambda c, p_in: (bstep(c, p_in), None), carry0, traj,
+            reverse=True)
+    else:
+        gp, cdx, ch1 = checkpointed_reverse(
+            fstep, bstep, phi_pad0, carry0, steps,
+            phi_pad0.size * phi_pad0.dtype.itemsize)
     # band_radius/threshold enter through booleans only: exact zero cots
     return (crop_from_pallas(gp, gshape), cdx, ch1, zero, zero)
 

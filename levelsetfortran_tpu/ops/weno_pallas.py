@@ -1581,9 +1581,28 @@ def _fused_scan(phi0, dx, h, steps, eps_scale, eps_floor, quirk_y_p5_zero,
 
 def _fused_scan_fwd(phi0, dx, h, steps, eps_scale, eps_floor,
                     quirk_y_p5_zero, tile, interpret, precise):
+    gshape = phi0.shape
+    phi_pad = pad_for_pallas(phi0, tile)
+    item_bytes = phi_pad.size * phi_pad.dtype.itemsize
+    if steps * item_bytes <= _FLAT_TRAJ_BYTES:
+        # stash the padded trajectory DURING the forward scan: the
+        # backward then skips its recompute pass entirely — reverse mode
+        # costs 1 fwd + 1 bwd per step instead of 2 fwd + 1 bwd
+        sign_pad = phi_pad
+
+        def step(p, _):
+            out = _pallas_step_padded(p, sign_pad, dx, h, gshape=gshape,
+                                      eps_scale=eps_scale,
+                                      eps_floor=eps_floor,
+                                      quirk_y_p5_zero=quirk_y_p5_zero,
+                                      tile=tile, interpret=interpret,
+                                      precise=precise)
+            return out, p                  # each step's INPUT iterate
+        phi_end, traj = jax.lax.scan(step, phi_pad, None, length=steps)
+        return crop_from_pallas(phi_end, gshape), (phi0, dx, h, traj)
     out = _fused_scan(phi0, dx, h, steps, eps_scale, eps_floor,
                       quirk_y_p5_zero, tile, interpret, precise)
-    return out, (phi0, dx, h)
+    return out, (phi0, dx, h, None)
 
 
 #: Flat trajectory stash is used when it fits in this many bytes of HBM;
@@ -1663,18 +1682,19 @@ def _fused_scan_bwd(steps, eps_scale, eps_floor, quirk_y_p5_zero, tile,
                     interpret, precise, res, g):
     """Reverse scan of the Pallas adjoint kernel with bounded memory.
 
-    Residual is phi0 only; iterates are RECOMPUTED with the fast forward
-    kernel.  Small solves (trajectory <= ``_FLAT_TRAJ_BYTES``) stash every
-    padded iterate in one forward re-scan — one recompute pass total.
-    Larger solves use two-level (sqrt-N) checkpointing: a snapshot pass
-    stores only every segment-start iterate (~sqrt(steps) arrays), then
-    each segment in reverse order recomputes its ~sqrt(steps) interior
-    iterates and runs the backward kernel over them — peak HBM is
-    ~2*sqrt(steps) padded arrays instead of ``steps`` (200-step 256^3 and
-    50-step 512^3 gradients fit a 16 GB chip; the flat stash would need
-    ~15 GB / ~28 GB), at the cost of one extra forward recompute pass.
+    Small solves (trajectory <= ``_FLAT_TRAJ_BYTES``) already stashed the
+    padded trajectory during the forward scan (``_fused_scan_fwd``) — no
+    recompute pass at all; reverse mode is 1 fwd + 1 bwd per step.
+    Larger solves keep only phi0 and use two-level (sqrt-N)
+    checkpointing: a snapshot pass stores only every segment-start
+    iterate (~sqrt(steps) arrays), then each segment in reverse order
+    recomputes its ~sqrt(steps) interior iterates and runs the backward
+    kernel over them — peak HBM is ~2*sqrt(steps) padded arrays instead
+    of ``steps`` (200-step 256^3 and 50-step 512^3 gradients fit a 16 GB
+    chip; the flat stash would need ~15 GB / ~28 GB), at the cost of one
+    extra forward recompute pass.
     """
-    phi0, dx, h = res
+    phi0, dx, h, traj = res
     gshape = phi0.shape
     phi_pad0 = pad_for_pallas(phi0, tile)
     sign_pad = phi_pad0
@@ -1698,11 +1718,15 @@ def _fused_scan_bwd(steps, eps_scale, eps_floor, quirk_y_p5_zero, tile,
         return (cp, cs_acc + cs, cdx_acc + cdx, ch_acc + ch), None
 
     carry0 = (g_pad, zero_s, zero, zero)
-    gp, cs_acc, cdx_acc, ch_acc = checkpointed_reverse(
-        lambda p: fstep(p, None)[0],
-        lambda carry, p_in: bstep(carry, p_in)[0],
-        phi_pad0, carry0, steps,
-        phi_pad0.size * phi_pad0.dtype.itemsize)
+    if traj is not None:
+        (gp, cs_acc, cdx_acc, ch_acc), _ = jax.lax.scan(
+            bstep, carry0, traj, reverse=True)
+    else:
+        gp, cs_acc, cdx_acc, ch_acc = checkpointed_reverse(
+            lambda p: fstep(p, None)[0],
+            lambda carry, p_in: bstep(carry, p_in)[0],
+            phi_pad0, carry0, steps,
+            phi_pad0.size * phi_pad0.dtype.itemsize)
     # sign source IS phi_pad0: both cotangent paths land on phi0; apron
     # cotangents are exactly zero (guard_ad), so cropping == pad transpose
     cot_phi0 = crop_from_pallas(gp, gshape) + crop_from_pallas(cs_acc, gshape)
