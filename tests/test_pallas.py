@@ -228,3 +228,51 @@ def test_auto_orientation_solver_paths():
     mout = minmax_flow(phi, dx, 1e-4, 3, 0.0, use_pallas=True)
     np.testing.assert_allclose(np.asarray(mout.phi), np.asarray(mref.phi),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_fused_rms_scalar_matches_manual():
+    """with_rms=True returns sum((out - in)^2) over TRUE grid cells,
+    accumulated inside the kernel across tiles (incl. odd shapes whose
+    padded layout has round-up cells that must not contribute)."""
+    from levelsetfortran_tpu.ops import weno_pallas as wp
+
+    for shape in [(16, 32, 64), (13, 41, 61)]:
+        phi = _field(shape, seed=11)
+        dx, h = 0.05, 0.005
+        tile = wp._pick_tile(shape)
+        pp = wp.pad_for_pallas(phi, tile)
+        kw = dict(gshape=shape, eps_scale=1e-6,
+                  eps_floor=default_eps_floor(phi.dtype),
+                  quirk_y_p5_zero=False, tile=tile, interpret=True)
+        out_plain = wp._pallas_step_padded(pp, pp, jnp.float32(dx),
+                                           jnp.float32(h), **kw)
+        out, dsq = wp._pallas_step_padded(pp, pp, jnp.float32(dx),
+                                          jnp.float32(h), with_rms=True,
+                                          **kw)
+        a = np.asarray(wp.crop_from_pallas(out, shape))
+        b = np.asarray(wp.crop_from_pallas(out_plain, shape))
+        np.testing.assert_array_equal(a, b)
+        manual = float(np.sum((a - np.asarray(phi)) ** 2))
+        np.testing.assert_allclose(float(dsq), manual, rtol=1e-5)
+
+
+def test_banded_axis_order_keeps_sparse_axis_tiled():
+    """Flat two-body geometry: the band-sparse long axis must stay in the
+    TILED dims (lane-axis sparsity is unusable by the tile skip), even
+    though the dense-volume-optimal order would put it in lanes."""
+    from levelsetfortran_tpu.ops.weno_pallas import (banded_axis_order,
+                                                     best_axis_order)
+
+    nx, ny, nz = 512, 32, 32
+    xs = np.linspace(-3.0, 3.0, nx, dtype=np.float32)
+    ys = np.linspace(-0.5, 0.5, ny, dtype=np.float32)
+    zs = np.linspace(-0.5, 0.5, nz, dtype=np.float32)
+    gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
+    phi = jnp.asarray(np.minimum(
+        np.sqrt((gx + 2.5) ** 2 + gy ** 2 + gz ** 2) - 0.2,
+        np.sqrt((gx - 2.5) ** 2 + gy ** 2 + gz ** 2) - 0.2))
+    dx = float(xs[1] - xs[0])
+
+    assert best_axis_order(phi.shape)[2] == 0   # volume-optimal: x in lanes
+    perm = banded_axis_order(phi, dx, 8.1, 0.5)
+    assert perm[2] != 0, perm                   # band-aware: x stays tiled
