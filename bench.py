@@ -370,9 +370,9 @@ def main():
             elif name == "narrowband_flat":
                 detail["narrowband_speedup_flat_768x128x128"] = fn()
             elif name.startswith("grad"):
-                cups, secs = fn()
-                detail[name + "_cups"] = cups
-                detail[name + "_seconds"] = secs
+                g_cups, g_secs = fn()      # NB: never rebind `cups`
+                detail[name + "_cups"] = g_cups
+                detail[name + "_seconds"] = g_secs
             elif name == "sharded_1chip":
                 # NB: do not rebind `cups` (the north-star value)
                 sh_ratio, sh_cups = fn()
