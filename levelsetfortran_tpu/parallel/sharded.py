@@ -231,7 +231,7 @@ def reinit_k_steps_local_pallas(phi_l, sign_l, dx, h, k, *, ext, gshape,
                                 mesh_shape, tile, eps_scale=1e-6,
                                 eps_floor=None, quirk_y_p5_zero=False,
                                 precise=False, interpret=False,
-                                band_radius=None):
+                                band_radius=None, with_rms=False):
     """``k`` fused-kernel reinit steps per ONE halo exchange — the
     composition of halo-deep pipelining with the Pallas path.
 
@@ -264,14 +264,24 @@ def reinit_k_steps_local_pallas(phi_l, sign_l, dx, h, k, *, ext, gshape,
         active = wp.tile_activity(pad, gshape, tile, dx, band_radius,
                                   margin_cells=k * h / dx,
                                   offsets=(ox, oy))
-    for _ in range(int(k)):
-        pad = wp._pallas_step_padded(
+    dsq = None
+    for i in range(int(k)):
+        last = i == int(k) - 1
+        out = wp._pallas_step_padded(
             pad, spad, dx, h, gshape=gshape, eps_scale=eps_scale,
             eps_floor=eps_floor, quirk_y_p5_zero=quirk_y_p5_zero, tile=tile,
             interpret=interpret, precise=precise, offsets=(ox, oy),
-            active=active)
-    return pad[wp.XA + ext_x:wp.XA + ext_x + bx,
-               wp.YA + ext_y:wp.YA + ext_y + by, :]
+            active=active, with_rms=with_rms and last)
+        pad = out[0] if (with_rms and last) else out
+        if with_rms and last:
+            dsq = out[1]
+    cropped = pad[wp.XA + ext_x:wp.XA + ext_x + bx,
+                  wp.YA + ext_y:wp.YA + ext_y + by, :]
+    # NOTE on with_rms under ext > 0 (k > 1): the kernel's owned-cell sum
+    # covers the WIDENED extent, double-counting redundant halo-compute
+    # cells across shards — callers only request it at k == 1 (ext == 0),
+    # where owned cells partition the grid exactly.
+    return (cropped, dsq) if with_rms else cropped
 
 
 def minmax_step_local_pallas(phi_l, dx, h1, band_radius, threshold, *,
@@ -366,15 +376,27 @@ class ShardedLevelSet:
         nz = self.gshape[2]
 
         def _reinit(phi, sign_src, h, iters, tol):
+            denom = ((self.gshape[0] - 1) * (self.gshape[1] - 1)
+                     * (self.gshape[2] - 1))
+
             def body(state):
                 p, _, n, _, _ = state
+                rms = None
                 if self.use_pallas:
-                    new = reinit_k_steps_local_pallas(
+                    out = reinit_k_steps_local_pallas(
                         p, sign_src, dx, h, k, ext=self._pext,
                         tile=self._ptile, interpret=self._pinterp,
                         band_radius=(self.band_radius if self.narrow_band
                                      else None),
-                        **self._step_kw)
+                        with_rms=(k == 1), **self._step_kw)
+                    if k == 1:
+                        # convergence reduction fused into the kernel;
+                        # shards' owned-cell sums psum to the global RMS
+                        new, dsq = out
+                        total = jax.lax.psum(dsq, AXIS_NAMES)
+                        rms = jnp.sqrt(total / denom)
+                    else:
+                        new = out
                 elif k == 1 and self.overlap:
                     new = reinit_step_local_overlap(p, sign_src, dx, h,
                                                     **self._step_kw)
@@ -384,7 +406,9 @@ class ShardedLevelSet:
                 else:
                     new = reinit_k_steps_local(p, sign_src, dx, h, k,
                                                **self._step_kw)
-                rms = _global_rms(new[..., :nz], p[..., :nz], self.gshape)
+                if rms is None:
+                    rms = _global_rms(new[..., :nz], p[..., :nz],
+                                      self.gshape)
                 done = (rms < tol) | jnp.isnan(rms)
                 return (new, p, n + k, rms, done)
 
