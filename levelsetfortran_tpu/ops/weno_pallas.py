@@ -1112,7 +1112,10 @@ def _pick_bwd_tile(pad_shape, tile):
     for tyb in (32, 16, 8):
         if nyp % tyb == 0 and tyb * nzp <= budget:
             return (tx, tyb)
-    for tyb in (32, 16, 8):      # tiny grids: keep divisibility
+    # no tile meets the VMEM budget (nzp > 1024): prefer the SMALLEST
+    # divisible ty — the largest is exactly the configuration that exceeds
+    # physical VMEM and kills the Mosaic compile (ADVICE r3)
+    for tyb in (8, 16, 32):
         if nyp % tyb == 0:
             return (tx, tyb)
     return (tx, ty)

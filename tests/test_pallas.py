@@ -276,3 +276,33 @@ def test_banded_axis_order_keeps_sparse_axis_tiled():
     assert best_axis_order(phi.shape)[2] == 0   # volume-optimal: x in lanes
     perm = banded_axis_order(phi, dx, 8.1, 0.5)
     assert perm[2] != 0, perm                   # band-aware: x stays tiled
+
+
+def test_hand_pair_forward_matches_weno5_pair():
+    """The hand-adjoint's recomputed forward (``_weno5_pair_hand``) must
+    agree with the forward kernel's ``_weno5_pair`` to f32 ulp: the bwd
+    kernel recomputes WENO weights via the hand path, so a sub-tolerance
+    forward divergence would silently bias cotangents (VERDICT r3 #10a).
+
+    Covers random diffs, flat fields (all-zero diffs), exact ties in the
+    epsilon/weight max chains, and the y-quirk epsilon variant.
+    """
+    from levelsetfortran_tpu.ops.weno_pallas import (_weno5_pair,
+                                                     _weno5_pair_hand)
+
+    rng = np.random.default_rng(7)
+    blocks = [rng.standard_normal((6, 256)).astype(np.float32)]
+    # flat field: every diff zero (weights symmetric, epsilon-floored)
+    blocks.append(np.zeros((6, 256), np.float32))
+    # ties: repeated magnitudes so the max chains hit exact equality
+    tied = rng.choice([-1.0, 0.0, 1.0, 2.0], size=(6, 256)).astype(np.float32)
+    blocks.append(tied)
+    ps = [jnp.asarray(np.concatenate([b[i] for b in blocks])) for i in range(6)]
+
+    for p5_zero in (False, True):
+        for eps_floor in (1e-12, 1e-18):
+            wm_a, wp_a = _weno5_pair(*ps, 1e-6, eps_floor, 1e-7, p5_zero)
+            wm_b, wp_b, _ = _weno5_pair_hand(*ps, 1e-6, eps_floor, 1e-7,
+                                             p5_zero)
+            np.testing.assert_array_equal(np.asarray(wm_a), np.asarray(wm_b))
+            np.testing.assert_array_equal(np.asarray(wp_a), np.asarray(wp_b))
