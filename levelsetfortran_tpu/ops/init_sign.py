@@ -203,6 +203,205 @@ def pseudonormal_sign(points, tri, best_d2, tile: int = 128,
     return acc
 
 
+# ------------------------- block-culled init -------------------------
+
+@jax.tree_util.register_pytree_node_class
+class InitCulling:
+    """Per-grid-block candidate triangle lists for the culled init.
+
+    Blocks (raster (bx, by, bz) order, flat ids) are grouped into BUCKETS
+    by candidate count: ``cands[g]`` is a (Bg, Kg) int32 index table into
+    the triangle array (rows padded with the sentinel index E — a far
+    degenerate triangle appended by the compute) and ``bidxs[g]`` the flat
+    block ids of its rows.  Bucketing matters because the candidate-count
+    distribution is heavy-tailed (blocks deep inside/far outside the body
+    see the surface at near-uniform distance, so their conservative
+    annulus covers much of it): padding every block to the global max K
+    would forfeit most of the culling (measured on cube40@256³: mean 726
+    candidates vs max 7.9k of 18.3k triangles).
+
+    Built once from CONCRETE vertices (:func:`build_init_culling`); usable
+    inside traced/jitted code afterwards (registered as a pytree: index
+    tables are leaves, block geometry is static aux data), so a gradient
+    loop can reuse a culling built outside the trace.
+    """
+
+    def __init__(self, cands, bidxs, block: int, nblocks):
+        self.cands = tuple(cands)
+        self.bidxs = tuple(bidxs)
+        self.block = int(block)
+        self.nblocks = tuple(nblocks)
+
+    def tree_flatten(self):
+        return (self.cands, self.bidxs), (self.block, self.nblocks)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], aux[1])
+
+    @property
+    def cand_idx(self):
+        """Uniform (B, K) view — only for single-bucket cullings in block
+        raster order (``build_init_culling(..., bucketed=False)``), which
+        the sharded init's per-shard table slicing requires."""
+        if len(self.cands) != 1:
+            raise ValueError("cand_idx needs a single-bucket culling "
+                             "(build_init_culling(..., bucketed=False))")
+        return self.cands[0]
+
+    @property
+    def max_k(self) -> int:
+        return max(int(c.shape[1]) for c in self.cands)
+
+
+def build_init_culling(grid: Grid3D, vertices, elements, *, block: int = 16,
+                       tile: int = 128, margin: float = 0.0,
+                       bucketed: bool = True) -> InitCulling:
+    """Host-side spatial culling: per grid-block candidate triangle lists.
+
+    The reference restricts its brute-force init to the surface bbox ±3
+    cells (``set3d.f90:180-186``); this is the TPU-native sharpening of
+    that idea (BASELINE: "batched BVH-free gather kernel"): partition the
+    grid into ``block``³ point blocks and keep, per block, only triangles
+    whose distance lower bound can beat the block's distance upper bound —
+
+        lb(b,t) = |center_b - centroid_t| - R_b - r_t
+        ub(b)   = min_t |center_b - centroid_t| + r_t + R_b
+
+    (R_b the block half-diagonal, r_t the triangle circumradius about its
+    centroid).  Any triangle that is nearest — or distance-tied for the
+    pseudonormal sign scan — for ANY point of the block satisfies
+    lb ≤ ub, so the candidate set is exact, not approximate.  ``margin``
+    (distance units) widens ub so the culling stays valid under vertex
+    perturbations up to that size (gradient-descent reuse).
+
+    With ``bucketed`` (default) blocks are grouped into power-of-two-K
+    buckets (K a multiple of the scan ``tile``) so the padded work tracks
+    the MEAN candidate count, not the heavy-tailed max; the downstream
+    compute stays shape-static per bucket.  ``bucketed=False`` pads every
+    block to one global K — required by the sharded init's per-shard
+    table slicing.
+    """
+    verts = np.asarray(jax.lax.stop_gradient(vertices), np.float64)
+    elems = np.asarray(elements)
+    tri = verts[elems]                           # (E, 3, 3)
+    cent = tri.mean(axis=1)                      # (E, 3)
+    r_t = np.sqrt(((tri - cent[:, None, :]) ** 2).sum(-1)).max(axis=1)
+
+    bs = int(block)
+    nb = tuple(-(-s // bs) for s in grid.shape)
+    # block centers in physical space (over the block's grid POINTS)
+    ctr = [np.asarray(grid.origin[a]) + grid.dx *
+           (np.arange(nb[a]) * bs + (bs - 1) / 2.0) for a in range(3)]
+    cx, cy, cz = np.meshgrid(*ctr, indexing="ij")
+    centers = np.stack([cx, cy, cz], axis=-1).reshape(-1, 3)   # (B, 3)
+    R_b = grid.dx * np.sqrt(3.0) * (bs - 1) / 2.0
+
+    B, E = centers.shape[0], tri.shape[0]
+    rows = []
+    counts = np.empty(B, np.int64)
+    chunk = max(1, int(2e7) // max(E, 1))        # bound the (chunk, E) temp
+    for c0 in range(0, B, chunk):
+        d = np.sqrt(((centers[c0:c0 + chunk, None, :]
+                      - cent[None, :, :]) ** 2).sum(-1))       # (c, E)
+        ub = (d + r_t[None, :]).min(axis=1) + R_b + margin
+        lb = d - r_t[None, :] - R_b
+        keep = lb <= ub[:, None] * (1.0 + 1e-3) + 1e-9
+        for r in range(keep.shape[0]):
+            idx = np.nonzero(keep[r])[0]
+            counts[c0 + r] = idx.size
+            rows.append(idx)
+    kmax = int(counts.max()) if B else 0
+    if not bucketed:
+        K = max(tile, -(-kmax // tile) * tile)
+        cand = np.full((B, K), E, np.int32)      # E = sentinel (far tri)
+        for r, idx in enumerate(rows):
+            cand[r, :idx.size] = idx
+        return InitCulling((jnp.asarray(cand),),
+                           (jnp.arange(B, dtype=jnp.int32),), bs, nb)
+    # bucket blocks by candidate count: K levels = tile * 2^j
+    levels = [tile]
+    while levels[-1] < kmax:
+        levels.append(levels[-1] * 2)
+    level_of = np.searchsorted(np.asarray(levels), counts)
+    cands, bidxs = [], []
+    for li, K in enumerate(levels):
+        sel = np.nonzero(level_of == li)[0]
+        if sel.size == 0:
+            continue
+        cand = np.full((sel.size, K), E, np.int32)
+        for r, b in enumerate(sel):
+            cand[r, :rows[b].size] = rows[b]
+        cands.append(jnp.asarray(cand))
+        bidxs.append(jnp.asarray(sel.astype(np.int32)))
+    return InitCulling(cands, bidxs, bs, nb)
+
+
+@partial(jax.jit, static_argnames=("grid", "dtype", "tile", "block",
+                                   "nblocks", "out_shape"))
+def _culled_init(grid: Grid3D, tri, cands, bidxs, *, dtype, tile, block,
+                 nblocks, out_shape=None, block_offset=None):
+    """Blocked exact init over bucketed per-block candidate lists (traced
+    core).
+
+    ``nblocks`` describes the block raster the flat ids in ``bidxs`` index
+    (the whole grid, or one shard's sub-range with ``block_offset`` giving
+    its global block origin); ``out_shape`` is the crop target
+    (grid.shape default).
+    """
+    E = tri.shape[0]
+    far = jnp.full((1, 3, 3), 1e30, dtype=tri.dtype)
+    tri_s = jnp.concatenate([tri, far], axis=0)  # sentinel at index E
+    nbx, nby, nbz = nblocks
+    out_shape = tuple(grid.shape) if out_shape is None else tuple(out_shape)
+    B = nbx * nby * nbz
+    P = block ** 3
+    li, lj, lk = jnp.meshgrid(*([jnp.arange(block, dtype=jnp.int32)] * 3),
+                              indexing="ij")
+    loc = jnp.stack([li, lj, lk], axis=-1).reshape(-1, 3)     # (P, 3)
+    origin = jnp.asarray(grid.origin, dtype)
+
+    def one_block(cands_row, o):
+        t = tri_s[cands_row]                                  # (K, 3, 3)
+        pts = origin[None, :] + grid.dx * (o[None, :] + loc).astype(dtype)
+        d2, _ = nearest_triangle(pts, t, tile=tile)
+        ps = pseudonormal_sign(pts, jax.lax.stop_gradient(t),
+                               jax.lax.stop_gradient(d2), tile=tile)
+        sgn = jnp.where(ps < 0, -1.0, 1.0).astype(dtype)
+        return sgn * jnp.sqrt(jnp.maximum(d2, 1e-30))
+
+    results = jnp.zeros((B, P), dtype)
+    for cand, bidx in zip(cands, bidxs):
+        Bg, K = cand.shape
+        # bound the per-scan-step (group, P, tile) distance intermediate
+        # to ~4M lanes (the triangle-tile scan's memory is K-independent)
+        group = max(1, min(Bg, 2 ** 22 // (P * tile)))
+        Bp = -(-Bg // group) * group
+        cand_p = jnp.pad(cand, ((0, Bp - Bg), (0, 0)), constant_values=E)
+        bidx_p = jnp.pad(bidx, (0, Bp - Bg))
+        bi = bidx_p // (nby * nbz)
+        bj = (bidx_p // nbz) % nby
+        bk = bidx_p % nbz
+        borig = jnp.stack([bi, bj, bk], axis=-1).astype(jnp.int32) * block
+        if block_offset is not None:
+            borig = borig + (jnp.asarray(block_offset, jnp.int32)[None, :]
+                             * block)
+
+        def chunk(_, data):
+            c, os = data
+            return 0, jax.vmap(one_block)(c, os)
+
+        _, res = jax.lax.scan(chunk, 0,
+                              (cand_p.reshape(-1, group, K),
+                               borig.reshape(-1, group, 3)))
+        results = results.at[bidx].set(res.reshape(Bp, P)[:Bg])
+
+    res = results.reshape(nbx, nby, nbz, block, block, block)
+    res = res.transpose(0, 3, 1, 4, 2, 5).reshape(
+        nbx * block, nby * block, nbz * block)
+    return res[:out_shape[0], :out_shape[1], :out_shape[2]]
+
+
 def nearest_centroid(points: jnp.ndarray, centroids: jnp.ndarray,
                      tile: int = 512) -> jnp.ndarray:
     """Index of the nearest centroid per point (reference set3d.f90:222-236).
@@ -258,31 +457,98 @@ def _grid_points(grid: Grid3D, dtype):
     return jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
 
 
-@partial(jax.jit, static_argnames=("grid", "dtype", "tile"))
+@partial(jax.jit, static_argnames=("grid", "dtype", "tile", "block"))
+def _dense_signed_distance_init(grid: Grid3D, vertices, elements, *,
+                                dtype=jnp.float32, tile: int = 128,
+                                block: int = 16):
+    """All-pairs exact init (every grid point vs every triangle tile).
+
+    Points stream in ``block``³ groups over a ``lax.scan`` — the per-tile
+    (P, tile) Ericson intermediates are ~50 arrays deep, and a flat
+    256³-point batch would need ~90 GB of HBM temp (measured OOM on v5e).
+    Same point-group structure as the culled path, minus the candidate
+    gather (every group scans every triangle tile).
+    """
+    vertices = jnp.asarray(vertices, dtype=dtype)
+    tri = vertices[elements]                    # (E, 3, 3)
+    nb = tuple(-(-s // block) for s in grid.shape)
+    nbx, nby, nbz = nb
+    B = nbx * nby * nbz
+    P = block ** 3
+    group = max(1, min(B, 2 ** 22 // (P * tile)))
+    Bp = -(-B // group) * group
+    bidx = jnp.arange(Bp, dtype=jnp.int32)
+    bi = bidx // (nby * nbz)
+    bj = (bidx // nbz) % nby
+    bk = bidx % nbz
+    borig = jnp.stack([bi, bj, bk], axis=-1) * block
+    li, lj, lk = jnp.meshgrid(*([jnp.arange(block, dtype=jnp.int32)] * 3),
+                              indexing="ij")
+    loc = jnp.stack([li, lj, lk], axis=-1).reshape(-1, 3)
+    origin = jnp.asarray(grid.origin, dtype)
+
+    def one_block(o):
+        pts = origin[None, :] + grid.dx * (o[None, :] + loc).astype(dtype)
+        d2, _ = nearest_triangle(pts, tri, tile=tile)
+        # sign: angle-weighted pseudonormal over distance-tied triangles
+        # (the single-nearest plane test is degenerate in edge/vertex
+        # shadows); the sign is piecewise-constant, so gradients flow
+        # through the distance
+        ps = pseudonormal_sign(pts, jax.lax.stop_gradient(tri),
+                               jax.lax.stop_gradient(d2), tile=tile)
+        sgn = jnp.where(ps < 0, -1.0, 1.0).astype(dtype)
+        return sgn * jnp.sqrt(jnp.maximum(d2, 1e-30))
+
+    def chunk(_, os):
+        return 0, jax.vmap(one_block)(os)
+
+    _, res = jax.lax.scan(chunk, 0, borig.reshape(-1, group, 3))
+    res = res.reshape(Bp, P)[:B].reshape(nb + (block, block, block))
+    res = res.transpose(0, 3, 1, 4, 2, 5).reshape(
+        nbx * block, nby * block, nbz * block)
+    return res[:grid.shape[0], :grid.shape[1], :grid.shape[2]]
+
+
 def signed_distance_init(grid: Grid3D, vertices, elements, *,
-                         dtype=jnp.float32, tile: int = 128):
+                         dtype=jnp.float32, tile: int = 128,
+                         culling="auto", cull_block: int = 16):
     """Exact-distance signed initialization on the full grid (default mode).
 
     phi0 = sign(orientation vs nearest triangle) * distance(point, surface).
     Already |grad| = 1 almost everywhere; reinit then only repairs
-    edge-shadow kinks.  Fully jitted and differentiable w.r.t. vertices.
+    edge-shadow kinks.  Differentiable w.r.t. vertices.
+
+    ``culling`` controls the spatial candidate culling (VERDICT r3 #2 —
+    the all-pairs double scan is O(grid·ntri), an order of magnitude over
+    the solver it feeds at 256³/18k-tri):
+
+    * ``"auto"`` (default): with CONCRETE vertices, build per-block
+      candidate lists on the host (:func:`build_init_culling`) and run the
+      blocked gather compute; under tracing (e.g. inside ``jax.jit`` /
+      ``jax.grad`` closures) fall back to the dense scan — pass a
+      prebuilt :class:`InitCulling` to keep culling inside traces.
+    * an :class:`InitCulling`: use it (index gathers are
+      piecewise-constant, so vertex gradients flow unchanged).
+    * ``None``: dense all-pairs scan.
     """
+    if isinstance(culling, str) and culling == "auto":
+        culling = None
+        if not isinstance(vertices, jax.core.Tracer):
+            culling = build_init_culling(grid, vertices, elements,
+                                         block=cull_block, tile=tile)
+    if culling is None:
+        return _dense_signed_distance_init(grid, vertices, elements,
+                                           dtype=dtype, tile=tile)
     vertices = jnp.asarray(vertices, dtype=dtype)
-    tri = vertices[elements]                    # (E, 3, 3)
-    points = _grid_points(grid, dtype)
-    d2, _ = nearest_triangle(points, tri, tile=tile)
-    # sign: angle-weighted pseudonormal over distance-tied triangles (the
-    # single-nearest plane test is degenerate in edge/vertex shadows); the
-    # sign is piecewise-constant, so gradients flow through the distance
-    ps = pseudonormal_sign(points, jax.lax.stop_gradient(tri),
-                           jax.lax.stop_gradient(d2), tile=tile)
-    sgn = jnp.where(ps < 0, -1.0, 1.0).astype(dtype)
-    dist = jnp.sqrt(jnp.maximum(d2, 1e-30))
-    return (sgn * dist).reshape(grid.shape)
+    tri = vertices[jnp.asarray(elements)]
+    return _culled_init(grid, tri, culling.cands, culling.bidxs,
+                        dtype=dtype, tile=tile, block=culling.block,
+                        nblocks=culling.nblocks)
 
 
 def signed_distance_init_sharded(grid: Grid3D, vertices, elements, mesh, *,
-                                 dtype=jnp.float32, tile: int = 128):
+                                 dtype=jnp.float32, tile: int = 128,
+                                 culling="auto", cull_block: int = 16):
     """:func:`signed_distance_init` under ``shard_map``: grid points are
     block-sharded over the device mesh, triangle tiles replicated.
 
@@ -291,6 +557,11 @@ def signed_distance_init_sharded(grid: Grid3D, vertices, elements, mesh, *,
     the same tiled argmin scan on its own block of points.  Differentiable
     w.r.t. ``vertices``: shard_map's transpose all-reduces (psum) the
     replicated-input cotangent across shards.
+
+    With ``culling`` (see :func:`signed_distance_init`) each shard slices
+    its own rows of the replicated per-block candidate table and runs the
+    blocked gather compute; requires shard blocks divisible by the culling
+    block (else silently falls back to the dense per-shard scan).
     """
     from jax.sharding import PartitionSpec as P
 
@@ -307,6 +578,43 @@ def signed_distance_init_sharded(grid: Grid3D, vertices, elements, mesh, *,
     block = tuple(g // m for g, m in zip(gshape, mesh_shape))
     vertices = jnp.asarray(vertices, dtype=dtype)
     tri = vertices[jnp.asarray(elements)]
+
+    if isinstance(culling, str) and culling == "auto":
+        culling = None
+        if not isinstance(vertices, jax.core.Tracer):
+            # uniform-K culling: the per-shard table slice below needs one
+            # rectangular (nbx, nby, nbz, K) table
+            culling = build_init_culling(grid, vertices, elements,
+                                         block=cull_block, tile=tile,
+                                         bucketed=False)
+    if culling is not None and (len(culling.cands) != 1
+                                or any(b % culling.block for b in block)
+                                or any(g % culling.block for g in gshape)):
+        culling = None
+
+    if culling is not None:
+        nb_l = tuple(b // culling.block for b in block)
+        nbg = culling.nblocks
+        K = culling.cand_idx.shape[1]
+        cand4 = culling.cand_idx.reshape(nbg + (K,))
+        nloc = nb_l[0] * nb_l[1] * nb_l[2]
+
+        def local_culled(tri_l, cand_g):
+            boffs = [jax.lax.axis_index(n) * nb
+                     for n, nb in zip(AXIS_NAMES, nb_l)]
+            cand_l = jax.lax.dynamic_slice(
+                cand_g, tuple(boffs) + (jnp.int32(0),),
+                nb_l + (K,)).reshape(-1, K)
+            return _culled_init(grid, tri_l, (cand_l,),
+                                (jnp.arange(nloc, dtype=jnp.int32),),
+                                dtype=dtype, tile=tile,
+                                block=culling.block, nblocks=nb_l,
+                                out_shape=block,
+                                block_offset=jnp.stack(boffs))
+
+        f = shard_map(local_culled, mesh=mesh, in_specs=(P(), P()),
+                      out_specs=P(*AXIS_NAMES))
+        return jax.jit(f)(tri, cand4)
 
     def local(tri_l):
         offs = [jax.lax.axis_index(n) * b

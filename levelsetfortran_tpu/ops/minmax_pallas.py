@@ -40,13 +40,24 @@ def _jnp_step(phi, dx, h1, band_radius, threshold):
     return jnp.where(nb & interior_mask(phi.shape, 1), phi + h1 * f, phi)
 
 
-def _make_kernel(gshape, tile, nzp, with_rms=False):
+def _make_kernel(gshape, tile, nzp, with_rms=False, banded=False):
+    """``banded=True`` adds an SMEM (nbx, nby) int32 activity-mask input
+    after the scalar args; inactive tiles skip the stencil entirely and
+    move ONLY their owned region (passthrough copy) — the narrow-band
+    restriction the reference applies to exactly this loop
+    (``set3d.f90:402,420``, masks ``subs.f90:178-207``).  The kernel is
+    memory-bound (~15 VPU ops/cell), so skipped window DMAs convert
+    near-proportionally into step time."""
     nx, ny, nz = gshape          # TRUE grid shape: bounds for global masks
     tx, ty = tile
     wx, wy = tx + 2, ty + 2 * YA
 
-    def kernel(dx_ref, h1_ref, br_ref, th_ref, ox_ref, oy_ref,
-               phi_hbm, out_hbm, *rest):
+    def kernel(dx_ref, h1_ref, br_ref, th_ref, ox_ref, oy_ref, *rest):
+        if banded:
+            active_ref = rest[0]
+            rest = rest[1:]
+        phi_hbm, out_hbm = rest[0], rest[1]
+        rest = rest[2:]
         if with_rms:
             rms_ref, slab, oslab, in_sems, out_sems, racc = rest
         else:
@@ -65,6 +76,49 @@ def _make_kernel(gshape, tile, nzp, with_rms=False):
                            pl.ds(wj * ty, wy), :],
                 slab.at[slot], in_sems.at[slot])
 
+        def in_dma_small(slot, block_lin):
+            # inactive tile: only the owned region moves (passthrough)
+            wi = block_lin // nby
+            wj = block_lin % nby
+            return pltpu.make_async_copy(
+                phi_hbm.at[pl.ds(XA + wi * tx, tx),
+                           pl.ds(YA + wj * ty, ty), :],
+                slab.at[slot, pl.ds(1, tx), pl.ds(YA, ty), :],
+                in_sems.at[slot])
+
+        def block_active(block_lin):
+            wi = block_lin // nby
+            wj = block_lin % nby
+            return active_ref[wi, wj] > 0
+
+        def start_load(slot, block_lin):
+            if not banded:
+                in_dma(slot, block_lin).start()
+                return
+            act = block_active(block_lin)
+
+            @pl.when(act)
+            def _():
+                in_dma(slot, block_lin).start()
+
+            @pl.when(~act)
+            def _():
+                in_dma_small(slot, block_lin).start()
+
+        def wait_load(slot, block_lin):
+            if not banded:
+                in_dma(slot, block_lin).wait()
+                return
+            act = block_active(block_lin)
+
+            @pl.when(act)
+            def _():
+                in_dma(slot, block_lin).wait()
+
+            @pl.when(~act)
+            def _():
+                in_dma_small(slot, block_lin).wait()
+
         def out_dma(slot, block_lin):
             wi = block_lin // nby
             wj = block_lin % nby
@@ -76,13 +130,13 @@ def _make_kernel(gshape, tile, nzp, with_rms=False):
 
         @pl.when(lin == 0)
         def _():
-            in_dma(0, 0).start()
+            start_load(0, 0)
 
         @pl.when(lin + 1 < n_blocks)
         def _():
-            in_dma((lin + 1) % 2, lin + 1).start()
+            start_load((lin + 1) % 2, lin + 1)
 
-        in_dma(lin % 2, lin).wait()
+        wait_load(lin % 2, lin)
         slot = lin % 2
 
         dx = dx_ref[0, 0]
@@ -91,34 +145,43 @@ def _make_kernel(gshape, tile, nzp, with_rms=False):
         threshold = th_ref[0, 0]
         inv_dx2 = 1.0 / (dx * dx)
 
-        c = slab[slot, 1:1 + tx, YA:YA + ty, :]
-        sum6 = (slab[slot, 0:tx, YA:YA + ty, :]
-                + slab[slot, 2:2 + tx, YA:YA + ty, :]
-                + slab[slot, 1:1 + tx, YA - 1:YA - 1 + ty, :]
-                + slab[slot, 1:1 + tx, YA + 1:YA + 1 + ty, :]
-                + _roll(c, -1, 2) + _roll(c, 1, 2))
+        def compute():
+            c = slab[slot, 1:1 + tx, YA:YA + ty, :]
+            sum6 = (slab[slot, 0:tx, YA:YA + ty, :]
+                    + slab[slot, 2:2 + tx, YA:YA + ty, :]
+                    + slab[slot, 1:1 + tx, YA - 1:YA - 1 + ty, :]
+                    + slab[slot, 1:1 + tx, YA + 1:YA + 1 + ty, :]
+                    + _roll(c, -1, 2) + _roll(c, 1, 2))
 
-        lap = (sum6 - 6.0 * c) * inv_dx2
-        pave = (sum6 + c) * (1.0 / 7.0)
-        f = jnp.where(pave < threshold, jnp.minimum(lap, 0.0),
-                      jnp.maximum(lap, 0.0))
-        # update gate: narrow band AND global interior (face cells never
-        # update — the only cells whose stencil touches the apron, so
-        # apron garbage is provably select-discarded; see minmax_step)
-        gx = (ox_ref[0, 0] + bi * tx
-              + jax.lax.broadcasted_iota(jnp.int32, (tx, 1, 1), 0))
-        gy = (oy_ref[0, 0] + bj * ty
-              + jax.lax.broadcasted_iota(jnp.int32, (1, ty, 1), 1))
-        gz = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nzp), 2)
-        interior = ((gx >= 1) & (gx <= nx - 2) & (gy >= 1) & (gy <= ny - 2)
-                    & (gz >= 1) & (gz <= nz - 2))
-        nb = jnp.abs(c) < band_radius * dx
-        res = jnp.where(nb & interior, c + h1 * f, c)
+            lap = (sum6 - 6.0 * c) * inv_dx2
+            pave = (sum6 + c) * (1.0 / 7.0)
+            f = jnp.where(pave < threshold, jnp.minimum(lap, 0.0),
+                          jnp.maximum(lap, 0.0))
+            # update gate: narrow band AND global interior (face cells
+            # never update — the only cells whose stencil touches the
+            # apron, so apron garbage is provably select-discarded; see
+            # minmax_step)
+            gx = (ox_ref[0, 0] + bi * tx
+                  + jax.lax.broadcasted_iota(jnp.int32, (tx, 1, 1), 0))
+            gy = (oy_ref[0, 0] + bj * ty
+                  + jax.lax.broadcasted_iota(jnp.int32, (1, ty, 1), 1))
+            gz = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nzp), 2)
+            interior = ((gx >= 1) & (gx <= nx - 2) & (gy >= 1)
+                        & (gy <= ny - 2) & (gz >= 1) & (gz <= nz - 2))
+            nb = jnp.abs(c) < band_radius * dx
+            return jnp.where(nb & interior, c + h1 * f, c)
+
+        if banded:
+            res = jax.lax.cond(active_ref[bi, bj] > 0, compute,
+                               lambda: slab[slot, 1:1 + tx, YA:YA + ty, :])
+        else:
+            res = compute()
 
         if with_rms:
-            # fused convergence reduction: res == c outside nb & interior,
-            # so no extra validity mask is needed
-            d = res - c
+            # fused convergence reduction: res == c outside nb & interior
+            # (and exactly c for an inactive tile), so no extra validity
+            # mask is needed
+            d = res - slab[slot, 1:1 + tx, YA:YA + ty, :]
             dsq = jnp.sum(d * d)
 
             @pl.when(lin == 0)
@@ -154,13 +217,17 @@ def _pick_tile(gshape):
 @functools.partial(jax.jit, static_argnames=("gshape", "tile", "interpret",
                                              "with_rms"))
 def minmax_step_padded(phi_pad, dx, h1, band_radius, threshold, *, gshape,
-                       tile, interpret, offsets=None, with_rms=False):
+                       tile, interpret, offsets=None, with_rms=False,
+                       active=None):
     """One min/max Euler step on a padded-layout array.
 
     ``offsets`` (ox, oy): this block's global origin — (0, 0) single-device,
     the shard offset under domain decomposition.  ``with_rms=True`` returns
     ``(out, dsq)`` with the in-kernel sum of squared cell changes (see
-    weno_pallas._pallas_step_padded)."""
+    weno_pallas._pallas_step_padded).  ``active`` ((nbx, nby) int32,
+    optional) enables narrow-band execution: tiles with ``active == 0``
+    pass their owned cells through with a small DMA and skip everything
+    else (see weno_pallas.tile_activity)."""
     nx, ny, nz = gshape
     tx, ty = tile
     nxp = phi_pad.shape[0] - 2 * XA
@@ -168,7 +235,9 @@ def minmax_step_padded(phi_pad, dx, h1, band_radius, threshold, *, gshape,
     nzp = phi_pad.shape[2]
     if offsets is None:
         offsets = (jnp.int32(0), jnp.int32(0))
-    kernel, (wx, wy) = _make_kernel(gshape, tile, nzp, with_rms=with_rms)
+    banded = active is not None
+    kernel, (wx, wy) = _make_kernel(gshape, tile, nzp, with_rms=with_rms,
+                                    banded=banded)
     scalar = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                           memory_space=pltpu.SMEM)
     itemsize = phi_pad.dtype.itemsize
@@ -195,12 +264,20 @@ def minmax_step_padded(phi_pad, dx, h1, band_radius, threshold, *, gshape,
         out_specs = (out_specs, pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                                              memory_space=pltpu.SMEM))
         scratch = scratch + [pltpu.SMEM((1,), dt)]
+    in_specs = [scalar, scalar, scalar, scalar, int_scalar, int_scalar]
+    args = [s(dx), s(h1), s(band_radius), s(threshold),
+            jnp.reshape(jnp.asarray(offsets[0], jnp.int32), (1, 1)),
+            jnp.reshape(jnp.asarray(offsets[1], jnp.int32), (1, 1))]
+    if banded:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(jnp.asarray(active, jnp.int32))
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    args.append(phi_pad)
     res = pl.pallas_call(
         kernel,
         out_shape=out_shape,
         grid=(nxp // tx, nyp // ty),
-        in_specs=[scalar, scalar, scalar, scalar, int_scalar, int_scalar,
-                  pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
@@ -208,9 +285,7 @@ def minmax_step_padded(phi_pad, dx, h1, band_radius, threshold, *, gshape,
             vmem_limit_bytes=int(vmem_limit),
         ),
         interpret=interpret,
-    )(s(dx), s(h1), s(band_radius), s(threshold),
-      jnp.reshape(jnp.asarray(offsets[0], jnp.int32), (1, 1)),
-      jnp.reshape(jnp.asarray(offsets[1], jnp.int32), (1, 1)), phi_pad)
+    )(*args)
     if with_rms:
         return res[0], res[1][0, 0]
     return res

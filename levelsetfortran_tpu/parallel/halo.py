@@ -85,6 +85,59 @@ def halo_exchange(x: jnp.ndarray, width,
     return x
 
 
+def halo_exchange_axis_transpose(cot: jnp.ndarray, width: int, axis: int,
+                                 axis_name: str, n_shards: int
+                                 ) -> jnp.ndarray:
+    """Linear transpose of :func:`halo_exchange_axis` (non-periodic).
+
+    Forward: ``y = concat([L, x, R])`` with ``L = ppermute(x[-w:], fwd)``,
+    ``R = ppermute(x[:w], bwd)``.  Transpose: the center slab passes
+    through; my LEFT-halo cotangent returns to my -1 neighbor's last
+    ``w`` cells (``ppermute`` with the inverted permutation), my
+    RIGHT-halo cotangent to my +1 neighbor's first ``w`` cells.  Edge
+    shards' outward halos were zero-filled in the forward, and their
+    cotangent is correspondingly dropped here (no pair sends it).
+    """
+    cot_L = _axis_slab(cot, axis, 0, width)
+    cot_R = _axis_slab(cot, axis, -width, width)
+    mid = [slice(None)] * cot.ndim
+    mid[axis] = slice(width, cot.shape[axis] - width)
+    out = cot[tuple(mid)]
+    if n_shards == 1:
+        return out
+    fwd = [(i, i + 1) for i in range(n_shards - 1)]
+    bwd = [(i + 1, i) for i in range(n_shards - 1)]
+    to_last = jax.lax.ppermute(cot_L, axis_name, bwd)   # inverse of fwd
+    to_first = jax.lax.ppermute(cot_R, axis_name, fwd)  # inverse of bwd
+    last = [slice(None)] * cot.ndim
+    last[axis] = slice(out.shape[axis] - width, out.shape[axis])
+    first = [slice(None)] * cot.ndim
+    first[axis] = slice(0, width)
+    out = out.at[tuple(last)].add(to_last)
+    return out.at[tuple(first)].add(to_first)
+
+
+def halo_exchange_transpose(cot: jnp.ndarray, width,
+                            mesh_shape: Sequence[int],
+                            axis_names: Sequence[str] = AXIS_NAMES
+                            ) -> jnp.ndarray:
+    """Transpose of :func:`halo_exchange`: fold a padded-block cotangent
+    back onto local blocks — apron cotangents (contributions to NEIGHBOR
+    shards' cells, e.g. from the adjoint kernel's window scatter) ride the
+    reverse ppermute and accumulate into the neighbors' face cells.
+
+    The forward exchanges axes sequentially on the progressively padded
+    array, so the transpose peels them in REVERSE axis order.
+    """
+    widths = ((width,) * 3 if isinstance(width, int) else tuple(width))
+    for axis in reversed(range(len(widths))):
+        if widths[axis]:
+            cot = halo_exchange_axis_transpose(
+                cot, widths[axis], axis, axis_names[axis],
+                mesh_shape[axis])
+    return cot
+
+
 def crop(x: jnp.ndarray, width: int) -> jnp.ndarray:
     """Inverse of :func:`halo_exchange`: drop the halo frame."""
     sl = tuple(slice(width, -width) for _ in range(3))

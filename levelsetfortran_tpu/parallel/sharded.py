@@ -32,7 +32,7 @@ from ..ops.sign import smeared_sign
 from ..ops.weno import weno_godunov
 from ..ops.derivs import second_derivative
 from ..ops.minmax import seven_point_average
-from .halo import crop, halo_exchange
+from .halo import crop, halo_exchange, halo_exchange_transpose
 from .mesh import AXIS_NAMES, factor3, grid_sharding, make_mesh
 
 HALO = 4   # max stencil radius: WENO5 needs 3, order-8 derivs need 4
@@ -285,9 +285,16 @@ def reinit_k_steps_local_pallas(phi_l, sign_l, dx, h, k, *, ext, gshape,
 
 
 def minmax_step_local_pallas(phi_l, dx, h1, band_radius, threshold, *,
-                             gshape, mesh_shape, tile, interpret=False):
+                             gshape, mesh_shape, tile, interpret=False,
+                             active=None):
     """One min/max Euler step with the fused Pallas kernel per block
-    (2D (x, y) decomposition; same layout contract as the reinit kernel)."""
+    (2D (x, y) decomposition; same layout contract as the reinit kernel).
+
+    ``active``: optional per-block (nbx, nby) tile-activity mask (narrow
+    band).  A solve-long mask is sound here: inactive tiles' owned cells
+    are frozen, and the dense step's update gate is the cell's OWN value,
+    so a frozen cell can never enter the band (see
+    solvers.minmax_flow.minmax_flow_narrowband)."""
     from ..ops import minmax_pallas as mp
     from ..ops import weno_pallas as wp
     b = phi_l.shape
@@ -297,8 +304,21 @@ def minmax_step_local_pallas(phi_l, dx, h1, band_radius, threshold, *,
     pad = halo_exchange(phi_l, (wp.XA, wp.YA, 0), mesh_shape)
     out_pad = mp.minmax_step_padded(
         pad, dx, h1, band_radius, threshold, gshape=gshape, tile=tile,
-        interpret=interpret, offsets=(ox, oy))
+        interpret=interpret, offsets=(ox, oy), active=active)
     return out_pad[wp.XA:wp.XA + bx, wp.YA:wp.YA + by, :]
+
+
+def minmax_tile_activity_local(phi_l, dx, band_radius, *, gshape,
+                               mesh_shape, tile):
+    """Per-shard tile-activity mask for the banded min/max kernel, from a
+    one-off halo exchange of the current block."""
+    from ..ops import weno_pallas as wp
+    b = phi_l.shape
+    ox = jax.lax.axis_index(AXIS_NAMES[0]) * b[0]
+    oy = jax.lax.axis_index(AXIS_NAMES[1]) * b[1]
+    pad = halo_exchange(phi_l, (wp.XA, wp.YA, 0), mesh_shape)
+    return wp.tile_activity(pad, gshape, tile, dx, band_radius,
+                            margin_cells=0.0, offsets=(ox, oy))
 
 
 def minmax_step_local(phi_l, dx, h1, *, gshape, mesh_shape,
@@ -422,13 +442,22 @@ class ShardedLevelSet:
             return p, n, rms
 
         def _minmax(phi, h1, iters, tol, band_radius, threshold):
+            active = None
+            if self.use_pallas and self.narrow_band:
+                # solve-long mask: sound because frozen cells never change
+                # (minmax_step_local_pallas docstring)
+                active = minmax_tile_activity_local(
+                    phi, dx, band_radius, gshape=self.gshape,
+                    mesh_shape=self.mesh_shape, tile=self._mtile)
+
             def body(state):
                 p, _, n, _, _ = state
                 if self.use_pallas:
                     new = minmax_step_local_pallas(
                         p, dx, h1, band_radius, threshold,
                         gshape=self.gshape, mesh_shape=self.mesh_shape,
-                        tile=self._mtile, interpret=self._pinterp)
+                        tile=self._mtile, interpret=self._pinterp,
+                        active=active)
                 else:
                     new = minmax_step_local(
                         p, dx, h1, gshape=self.gshape,
@@ -604,25 +633,68 @@ class ShardedLevelSet:
 
 # ---------------- differentiable fixed-step solvers ----------------
 
-def reinit_fixed_sharded(mesh, phi0, dx, h, steps: int, *, eps_scale=1e-6,
-                         eps_floor=None, quirk_y_p5_zero=False, remat=True):
-    """Sharded analogue of :func:`solvers.reinit.reinit_fixed` — a
-    reverse-mode-differentiable ``lax.scan`` of the domain-decomposed Jacobi
-    step under ``shard_map``.
-
-    The halo exchange's ``ppermute`` transposes to the reverse permutation,
-    so the backward stencil sweep exchanges adjoint halos the same way the
-    forward exchanges values; a replicated upstream input (e.g. STL
-    vertices feeding a sharded init) gets its cotangent ``psum``-reduced
-    across shards by shard_map's transpose — the gradient all-reduce
-    BASELINE asks for, scheduled by XLA alongside the backward sweep.
-    Sign source is frozen at ``phi0``; per-step ``jax.checkpoint`` keeps
-    the ~200 WENO intermediates per step out of the stored residuals — the
-    scan still stashes one field iterate per step (O(steps) iterates, each
-    a shard-local block), recomputing intermediates in the backward sweep.
-    """
+def _fixed_pallas_setup(mesh, gshape, dtype, use_pallas):
+    """(tile, mtile, nzp, interpret) when the fused kernels can run the
+    fixed-step sharded solves, else None (jnp block-step fallback)."""
+    from ..ops import minmax_pallas as mp
+    from ..ops import weno_pallas as wp
+    on_tpu = mesh.devices.flat[0].platform == "tpu"
+    want = on_tpu if use_pallas == "auto" else bool(use_pallas)
+    if not want:
+        return None
     mesh_shape = tuple(mesh.devices.shape)
+    if mesh_shape[2] != 1 or not wp.pallas_supported(tuple(gshape), dtype):
+        return None
+    if gshape[0] % mesh_shape[0] or gshape[1] % mesh_shape[1]:
+        return None
+    bx = gshape[0] // mesh_shape[0]
+    by = gshape[1] // mesh_shape[1]
+    nzp = -(-gshape[2] // wp.ZALIGN) * wp.ZALIGN
+    tile = wp._pick_tile((bx, by, nzp))
+    mtile = mp._pick_tile((bx, by, nzp))
+    if bx % tile[0] or by % tile[1] or bx % mtile[0] or by % mtile[1]:
+        return None
+    if (mesh_shape[0] > 1 and bx < wp.XA) or \
+            (mesh_shape[1] > 1 and by < wp.YA):
+        return None
+    return tile, mtile, nzp, (not on_tpu)
+
+
+def reinit_fixed_sharded(mesh, phi0, dx, h, steps: int, *, eps_scale=1e-6,
+                         eps_floor=None, quirk_y_p5_zero=False, remat=True,
+                         use_pallas="auto"):
+    """Sharded analogue of :func:`solvers.reinit.reinit_fixed` — a
+    reverse-mode-differentiable fixed-step solve under ``shard_map``.
+
+    On the fused route (auto on TPU when the kernel applies) every forward
+    step is the fused Pallas kernel per shard block and every backward
+    step is the fused Pallas ADJOINT kernel (``wp._pallas_bwd_padded`` with
+    shard offsets): the adjoint kernel scatter-accumulates cotangent into
+    the block's APRON cells — contributions to neighbor shards — and a
+    width-(XA, YA) ADJOINT halo exchange (:func:`halo_exchange_transpose`,
+    the exact transpose of the forward ``ppermute``) delivers them between
+    backward steps.  The local trajectory is stashed flat when it fits
+    (1 fwd + 1 bwd per step) and sqrt-N checkpointed otherwise, exactly
+    like the single-chip ``reinit_scan_pallas``.  A replicated upstream
+    input (STL vertices feeding a sharded init) gets its cotangent
+    ``psum``-reduced across shards by shard_map's transpose — the gradient
+    all-reduce BASELINE asks for, scheduled by XLA alongside the backward
+    stencil sweep.  Sign source is frozen at ``phi0``; ``dx``/``h`` are
+    treated as constants (no scalar cotangents) on this route.
+
+    The jnp fallback (non-TPU meshes, f64, z-sharded meshes, or
+    ``use_pallas=False``) scans the jnp block step with per-step
+    ``jax.checkpoint``.
+    """
     gshape = tuple(phi0.shape)
+    setup = _fixed_pallas_setup(mesh, gshape, phi0.dtype, use_pallas)
+    if setup is not None:
+        tile, _, nzp, interpret = setup
+        return _reinit_fixed_sharded_pallas(
+            mesh, phi0, dx, h, steps, eps_scale=eps_scale,
+            eps_floor=eps_floor, quirk_y_p5_zero=quirk_y_p5_zero,
+            tile=tile, nzp=nzp, interpret=interpret)
+    mesh_shape = tuple(mesh.devices.shape)
     kw = dict(gshape=gshape, mesh_shape=mesh_shape, eps_scale=eps_scale,
               eps_floor=eps_floor, quirk_y_p5_zero=quirk_y_p5_zero)
     spec = P(*AXIS_NAMES)
@@ -640,13 +712,126 @@ def reinit_fixed_sharded(mesh, phi0, dx, h, steps: int, *, eps_scale=1e-6,
                      out_specs=spec)(phi0)
 
 
-def minmax_fixed_sharded(mesh, phi0, dx, h1, steps: int, *,
-                         band_radius=4.1, threshold=0.0, avg_halfwidth=1,
-                         remat=True):
-    """Sharded analogue of :func:`solvers.minmax_flow.minmax_flow_fixed`
-    (see :func:`reinit_fixed_sharded` for the differentiation story)."""
+def _reinit_fixed_sharded_pallas(mesh, phi0, dx, h, steps: int, *,
+                                 eps_scale, eps_floor, quirk_y_p5_zero,
+                                 tile, nzp, interpret):
+    """Fused-kernel sharded reverse mode (see reinit_fixed_sharded)."""
+    from ..ops import weno_pallas as wp
+    if eps_floor is None:
+        from ..ops.weno import default_eps_floor
+        eps_floor = default_eps_floor(phi0.dtype)
     mesh_shape = tuple(mesh.devices.shape)
     gshape = tuple(phi0.shape)
+    nz = gshape[2]
+    widths = (wp.XA, wp.YA, 0)
+    spec = P(*AXIS_NAMES)
+    kwf = dict(gshape=gshape, eps_scale=eps_scale, eps_floor=float(eps_floor),
+               quirk_y_p5_zero=quirk_y_p5_zero, tile=tile,
+               interpret=interpret, precise=False)
+    kwb = dict(gshape=gshape, eps_scale=eps_scale, eps_floor=float(eps_floor),
+               quirk_y_p5_zero=quirk_y_p5_zero, interpret=interpret)
+
+    def local(p0):
+        bx, by = p0.shape[0], p0.shape[1]
+        dt = p0.dtype
+        btile = wp._pick_bwd_tile((bx + 2 * wp.XA, by + 2 * wp.YA, nzp),
+                                  tile)
+
+        def offsets():
+            return (jax.lax.axis_index(AXIS_NAMES[0]) * bx,
+                    jax.lax.axis_index(AXIS_NAMES[1]) * by)
+
+        def fstep(p, sign_pad, dxa, ha):
+            pad = halo_exchange(p, widths, mesh_shape)
+            out = wp._pallas_step_padded(pad, sign_pad, dxa, ha,
+                                         offsets=offsets(), **kwf)
+            return out[wp.XA:wp.XA + bx, wp.YA:wp.YA + by, :]
+
+        # dx/h are explicit custom_vjp args (not closure): callers may pass
+        # TRACED scalars (e.g. a jitted pipeline's CFL argument), which a
+        # custom_vjp closure cannot capture; their cotangents come from the
+        # adjoint kernel's fused scalar reductions.
+        @jax.custom_vjp
+        def solve(pz, dxa, ha):
+            sign_pad = halo_exchange(pz, widths, mesh_shape)
+
+            def step(p, _):
+                return fstep(p, sign_pad, dxa, ha), None
+
+            p, _ = jax.lax.scan(step, pz, None, length=steps)
+            return p
+
+        def solve_fwd(pz, dxa, ha):
+            item = pz.size * pz.dtype.itemsize
+            if steps * item <= wp._FLAT_TRAJ_BYTES:
+                sign_pad = halo_exchange(pz, widths, mesh_shape)
+
+                def step(p, _):
+                    return fstep(p, sign_pad, dxa, ha), p
+
+                p, traj = jax.lax.scan(step, pz, None, length=steps)
+                return p, (pz, dxa, ha, traj)
+            return solve(pz, dxa, ha), (pz, dxa, ha, None)
+
+        def solve_bwd(res, g):
+            pz, dxa, ha, traj = res
+            sign_pad = halo_exchange(pz, widths, mesh_shape)
+            zero = jnp.zeros((), dt)
+
+            def bstep(carry, p_in):
+                gp, cs_acc, cdx_acc, ch_acc = carry
+                pad = halo_exchange(p_in, widths, mesh_shape)
+                g_pad = jnp.pad(gp, ((wp.XA, wp.XA), (wp.YA, wp.YA),
+                                     (0, 0)))
+                cp, cs, cdx, ch = wp._pallas_bwd_padded(
+                    pad, sign_pad, g_pad, dxa, ha, tile=btile,
+                    offsets=offsets(), **kwb)
+                # apron cotangents are contributions to NEIGHBOR shards'
+                # cells: the transpose exchange delivers + accumulates
+                return (halo_exchange_transpose(cp, widths, mesh_shape),
+                        cs_acc + cs, cdx_acc + cdx, ch_acc + ch)
+
+            carry0 = (g, jnp.zeros_like(sign_pad), zero, zero)
+            if traj is not None:
+                (gp, cs_acc, cdx, ch), _ = jax.lax.scan(
+                    lambda c, p: (bstep(c, p), None), carry0, traj,
+                    reverse=True)
+            else:
+                gp, cs_acc, cdx, ch = wp.checkpointed_reverse(
+                    lambda p: fstep(p, sign_pad, dxa, ha), bstep, pz,
+                    carry0, steps, pz.size * pz.dtype.itemsize)
+            cs_local = halo_exchange_transpose(cs_acc, widths, mesh_shape)
+            return (gp + cs_local, cdx, ch)
+
+        solve.defvjp(solve_fwd, solve_bwd)
+
+        pz0 = jnp.pad(p0, ((0, 0), (0, 0), (0, nzp - nz)), mode="edge")
+        return solve(pz0, jnp.asarray(dx, dt), jnp.asarray(h, dt))[..., :nz]
+
+    return shard_map(local, mesh=mesh, in_specs=(spec,),
+                     out_specs=spec, check_vma=False)(phi0)
+
+
+def minmax_fixed_sharded(mesh, phi0, dx, h1, steps: int, *,
+                         band_radius=4.1, threshold=0.0, avg_halfwidth=1,
+                         remat=True, use_pallas="auto"):
+    """Sharded analogue of :func:`solvers.minmax_flow.minmax_flow_fixed`
+    (see :func:`reinit_fixed_sharded` for the differentiation story).
+
+    The fused route's backward is GATHER-form: the upstream cotangent is
+    halo-exchanged (neighbors' cotangents land in the aprons) and
+    ``minmax_bwd_padded`` — whose windows already cover the ±1-extended
+    region — computes each owned cell's full cotangent locally, so no
+    scatter/transpose exchange is needed (radius-1 stencil)."""
+    gshape = tuple(phi0.shape)
+    setup = (None if avg_halfwidth != 1 else
+             _fixed_pallas_setup(mesh, gshape, phi0.dtype, use_pallas))
+    if setup is not None:
+        _, mtile, nzp, interpret = setup
+        return _minmax_fixed_sharded_pallas(
+            mesh, phi0, dx, h1, steps, band_radius=band_radius,
+            threshold=threshold, tile=mtile, nzp=nzp, interpret=interpret)
+    mesh_shape = tuple(mesh.devices.shape)
     spec = P(*AXIS_NAMES)
 
     def local(p0):
@@ -665,6 +850,94 @@ def minmax_fixed_sharded(mesh, phi0, dx, h1, steps: int, *,
 
     return shard_map(local, mesh=mesh, in_specs=(spec,),
                      out_specs=spec)(phi0)
+
+
+def _minmax_fixed_sharded_pallas(mesh, phi0, dx, h1, steps: int, *,
+                                 band_radius, threshold, tile, nzp,
+                                 interpret):
+    """Fused-kernel sharded reverse mode for the min/max flow."""
+    from ..ops import minmax_pallas as mp
+    from ..ops import weno_pallas as wp
+    mesh_shape = tuple(mesh.devices.shape)
+    gshape = tuple(phi0.shape)
+    nz = gshape[2]
+    widths = (wp.XA, wp.YA, 0)
+    spec = P(*AXIS_NAMES)
+    kw = dict(gshape=gshape, tile=tile, interpret=interpret)
+
+    def local(p0):
+        bx, by = p0.shape[0], p0.shape[1]
+        dt = p0.dtype
+
+        def offsets():
+            return (jax.lax.axis_index(AXIS_NAMES[0]) * bx,
+                    jax.lax.axis_index(AXIS_NAMES[1]) * by)
+
+        def fstep(p, dxa, h1a, bra, tha):
+            pad = halo_exchange(p, widths, mesh_shape)
+            out = mp.minmax_step_padded(pad, dxa, h1a, bra, tha,
+                                        offsets=offsets(), **kw)
+            return out[wp.XA:wp.XA + bx, wp.YA:wp.YA + by, :]
+
+        # scalars are explicit custom_vjp args: callers may pass traced
+        # values, which a custom_vjp closure cannot capture
+        @jax.custom_vjp
+        def solve(pz, dxa, h1a, bra, tha):
+            def step(p, _):
+                return fstep(p, dxa, h1a, bra, tha), None
+
+            p, _ = jax.lax.scan(step, pz, None, length=steps)
+            return p
+
+        def solve_fwd(pz, dxa, h1a, bra, tha):
+            item = pz.size * pz.dtype.itemsize
+            if steps * item <= wp._FLAT_TRAJ_BYTES:
+                def step(p, _):
+                    return fstep(p, dxa, h1a, bra, tha), p
+
+                p, traj = jax.lax.scan(step, pz, None, length=steps)
+                return p, (pz, dxa, h1a, bra, tha, traj)
+            return (solve(pz, dxa, h1a, bra, tha),
+                    (pz, dxa, h1a, bra, tha, None))
+
+        def solve_bwd(res, g):
+            pz, dxa, h1a, bra, tha, traj = res
+            zero = jnp.zeros((), dt)
+
+            def bstep(carry, p_in):
+                gp, cdx_acc, ch_acc = carry
+                pad = halo_exchange(p_in, widths, mesh_shape)
+                # gather-form transpose: exchange the COTANGENT so each
+                # owned cell sees the neighbor outputs that read it
+                g_pad = halo_exchange(gp, widths, mesh_shape)
+                cot, cdx, ch = mp.minmax_bwd_padded(pad, g_pad, dxa, h1a,
+                                                    bra, tha,
+                                                    offsets=offsets(),
+                                                    **kw)
+                return (cot[wp.XA:wp.XA + bx, wp.YA:wp.YA + by, :],
+                        cdx_acc + cdx, ch_acc + ch)
+
+            carry0 = (g, zero, zero)
+            if traj is not None:
+                (gp, cdx, ch), _ = jax.lax.scan(
+                    lambda c, p: (bstep(c, p), None), carry0, traj,
+                    reverse=True)
+            else:
+                gp, cdx, ch = wp.checkpointed_reverse(
+                    lambda p: fstep(p, dxa, h1a, bra, tha), bstep, pz,
+                    carry0, steps, pz.size * pz.dtype.itemsize)
+            # band_radius/threshold enter through booleans only: zero cots
+            return (gp, cdx, ch, zero, zero)
+
+        solve.defvjp(solve_fwd, solve_bwd)
+
+        pz0 = jnp.pad(p0, ((0, 0), (0, 0), (0, nzp - nz)), mode="edge")
+        return solve(pz0, jnp.asarray(dx, dt), jnp.asarray(h1, dt),
+                     jnp.asarray(band_radius, dt),
+                     jnp.asarray(threshold, dt))[..., :nz]
+
+    return shard_map(local, mesh=mesh, in_specs=(spec,),
+                     out_specs=spec, check_vma=False)(phi0)
 
 
 # ------------------------- sharded advection -------------------------
@@ -841,3 +1114,13 @@ def dryrun(n_devices: int) -> None:
     g = jax.grad(loss)(phi)
     g.block_until_ready()
     assert np.isfinite(np.asarray(jax.device_get(g))).all()
+
+    # FUSED sharded reverse mode: per-shard Pallas forward + Pallas
+    # ADJOINT kernels with adjoint halo exchange (r4; interpret off-TPU)
+    def loss_fused(p):
+        out = reinit_fixed_sharded(mesh2d, p, dx, h, 1, use_pallas=True)
+        return jnp.sum(out * out)
+
+    gf = jax.grad(loss_fused)(p2)
+    gf.block_until_ready()
+    assert np.isfinite(np.asarray(jax.device_get(gf))).all()

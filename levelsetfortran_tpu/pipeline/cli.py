@@ -30,6 +30,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="'distance': exact point-triangle SDF init; "
                         "'reference': the reference's smeared +-1 "
                         "nearest-centroid field (set3d.f90:196-268)")
+    p.add_argument("--init-culling", choices=["auto", "off"],
+                   default=d.init_culling,
+                   help="per-block candidate triangle culling for the "
+                        "distance init (the sharpened form of the "
+                        "reference's bbox+-3 subbox, set3d.f90:180-186)")
+    p.add_argument("--init-cull-block", type=int, default=d.init_cull_block,
+                   help="grid points per side of a culling block")
     p.add_argument("--reinit-iters", type=int, default=d.reinit_iters)
     p.add_argument("--reinit-cfl", type=float, default=d.reinit_cfl)
     p.add_argument("--reinit-tol", type=float, default=d.reinit_tol,
@@ -137,6 +144,8 @@ def config_from_args(args) -> LevelSetConfig:
                              f"{', '.join(QuirkConfig.__dataclass_fields__)}")
     cfg = LevelSetConfig(
         dx=args.dx, pad_cells=args.pad_cells, init_mode=args.init_mode,
+        init_culling=args.init_culling,
+        init_cull_block=args.init_cull_block,
         reinit_iters=args.reinit_iters, reinit_cfl=args.reinit_cfl,
         reinit_tol=args.reinit_tol,
         minmax_iters=args.minmax_iters, minmax_cfl=args.minmax_cfl,

@@ -43,7 +43,8 @@ def render_from_vertices(vertices, elements, grid: Grid3D, *,
                          reinit_cfl: float = 0.1, minmax_cfl: float = 0.01,
                          height: int = 64, width: int = 64,
                          n_march_steps: int = 64,
-                         use_pallas="auto", mesh=None) -> DifferentiableRender:
+                         use_pallas="auto", mesh=None,
+                         culling=None) -> DifferentiableRender:
     """Render the smoothed level set of a triangle mesh; pixels are
     differentiable w.r.t. ``vertices``.
 
@@ -64,15 +65,17 @@ def render_from_vertices(vertices, elements, grid: Grid3D, *,
                                         reinit_fixed_sharded)
         phi0 = signed_distance_init_sharded(grid, vertices,
                                             jnp.asarray(elements), mesh,
-                                            dtype=vertices.dtype)
+                                            dtype=vertices.dtype,
+                                            culling=culling)
         phi = reinit_fixed_sharded(mesh, phi0, dx, reinit_cfl * dx,
-                                   reinit_steps)
+                                   reinit_steps, use_pallas=use_pallas)
         if minmax_steps:
             phi = minmax_fixed_sharded(mesh, phi, dx,
-                                       minmax_cfl * dx * dx, minmax_steps)
+                                       minmax_cfl * dx * dx, minmax_steps,
+                                       use_pallas=use_pallas)
     else:
         phi0 = signed_distance_init(grid, vertices, jnp.asarray(elements),
-                                    dtype=vertices.dtype)
+                                    dtype=vertices.dtype, culling=culling)
         phi = reinit_fixed(phi0, dx, reinit_cfl * dx, reinit_steps,
                            use_pallas=use_pallas)
         if minmax_steps:

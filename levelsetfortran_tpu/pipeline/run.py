@@ -130,17 +130,22 @@ def run_mesh(mesh: SurfaceMesh, config: LevelSetConfig, *,
         from ..parallel.mesh import make_mesh
         smesh = make_mesh(tuple(cfg.mesh_shape))
     if cfg.init_mode == "distance":
+        cull = cfg.init_culling           # "auto" builds per-block lists
         if smesh is not None:
             # sharded init: grid points block-sharded over the mesh; the
             # full grid never lands on one device (ops/init_sign.py)
             from ..ops.init_sign import signed_distance_init_sharded
             phi0 = signed_distance_init_sharded(
                 grid, jnp.asarray(mesh.vertices, dtype),
-                jnp.asarray(mesh.elements), smesh, dtype=dtype)
+                jnp.asarray(mesh.elements), smesh, dtype=dtype,
+                culling=(None if cull == "off" else cull),
+                cull_block=cfg.init_cull_block)
         else:
             phi0 = signed_distance_init(
                 grid, jnp.asarray(mesh.vertices, dtype),
-                jnp.asarray(mesh.elements), dtype=dtype)
+                jnp.asarray(mesh.elements), dtype=dtype,
+                culling=(None if cull == "off" else cull),
+                cull_block=cfg.init_cull_block)
     else:
         phi0 = initialize_sign_field(
             grid, jnp.asarray(mesh.vertices, dtype),
@@ -234,13 +239,27 @@ def run_mesh(mesh: SurfaceMesh, config: LevelSetConfig, *,
         timer.mark("initialization")        # set3d.f90:314-316
 
         # --- min/max smoothing (set3d.f90:394-462) ---
-        m = minmax_flow(phi_init, cfg.dx, cfg.minmax_cfl * dxx,
-                        cfg.minmax_iters, cfg.minmax_tol,
-                        band_radius=cfg.band_radius,
-                        threshold=cfg.minmax_threshold,
-                        avg_halfwidth=cfg.minmax_avg_halfwidth,
-                        use_pallas=cfg.pallas_mode,
-                        metrics_every=cfg.metrics_every)
+        # Banded min/max is EXACT (update gate is the cell's own frozen
+        # value — solvers.minmax_flow.minmax_flow_narrowband), so any
+        # non-"off" narrow_band setting routes it; the default
+        # avg_halfwidth=1 Laplacian config is the banded kernel's domain.
+        if cfg.narrow_band != "off" and cfg.minmax_avg_halfwidth == 1:
+            from ..solvers.minmax_flow import minmax_flow_narrowband
+            m = minmax_flow_narrowband(
+                phi_init, cfg.dx, cfg.minmax_cfl * dxx, cfg.minmax_iters,
+                cfg.minmax_tol, band_radius=cfg.band_radius,
+                threshold=cfg.minmax_threshold,
+                refresh_every=cfg.nb_refresh_every,
+                use_pallas=cfg.pallas_mode,
+                metrics_every=cfg.metrics_every)
+        else:
+            m = minmax_flow(phi_init, cfg.dx, cfg.minmax_cfl * dxx,
+                            cfg.minmax_iters, cfg.minmax_tol,
+                            band_radius=cfg.band_radius,
+                            threshold=cfg.minmax_threshold,
+                            avg_halfwidth=cfg.minmax_avg_halfwidth,
+                            use_pallas=cfg.pallas_mode,
+                            metrics_every=cfg.metrics_every)
         phi_smoothed = m.phi
         phi_smoothed.block_until_ready()
         timer.mark("minmax")

@@ -152,6 +152,117 @@ def minmax_flow(phi0, dx, h1, iters: int, tol, *, band_radius=4.1,
                         diverged=jnp.isnan(rms))
 
 
+def minmax_flow_narrowband(phi0, dx, h1, iters: int, tol, *,
+                           band_radius=4.1, threshold=0.0,
+                           refresh_every: int = 8, use_pallas="auto",
+                           metrics_every: int = 0,
+                           axis_order=None) -> MinMaxResult:
+    """Narrow-band min/max flow: whole kernel tiles outside the active
+    band are skipped (owned-cell passthrough with a small DMA).
+
+    Unlike banded *reinit* (where frozen far-field tiles deliberately skip
+    their relaxation toward exact distance), banded min/max is EXACT: the
+    dense step's update gate is ``|phi_c| < band_radius*dx`` on the cell's
+    OWN value, and a cell in a frozen tile never changes, so it can never
+    enter the band between mask refreshes — the banded solve equals the
+    dense solve bit-for-bit at every iterate, for any ``refresh_every``
+    (the refresh only re-tightens the mask as the band shrinks).  This is
+    the loop the reference only ever runs on the band
+    (``set3d.f90:402,420``); the kernel is memory-bound, so skipped tile
+    DMAs convert near-proportionally into time.
+
+    ``axis_order`` as in :func:`~..solvers.reinit.reinit_narrowband`:
+    concrete inputs get the band-aware layout.
+    """
+    from ..ops import weno_pallas as wp
+    route = _route_pallas(use_pallas, phi0, 1, False)
+    if not route:
+        return minmax_flow(phi0, dx, h1, iters, tol,
+                           band_radius=band_radius, threshold=threshold,
+                           use_pallas=False, metrics_every=metrics_every)
+    concrete = not any(isinstance(v, jax.core.Tracer)
+                       for v in (phi0, dx, h1))
+    if axis_order is not None:
+        perm = tuple(axis_order)
+    elif concrete:
+        perm = wp.banded_axis_order(phi0, dx, band_radius, 0.0,
+                                    tile=(8, 16))
+    else:
+        perm = wp.best_axis_order(phi0.shape)
+    p = phi0 if perm == (0, 1, 2) else jnp.transpose(phi0, perm)
+    r = _minmax_narrowband_core(p, dx, h1, iters, tol,
+                                band_radius=band_radius,
+                                threshold=threshold,
+                                refresh_every=refresh_every,
+                                use_pallas=use_pallas,
+                                metrics_every=metrics_every)
+    if perm != (0, 1, 2):
+        r = r._replace(phi=jnp.transpose(r.phi, wp.inverse_perm(perm)))
+    return r
+
+
+@partial(jax.jit, static_argnames=("iters", "refresh_every", "use_pallas",
+                                   "metrics_every"))
+def _minmax_narrowband_core(phi0, dx, h1, iters: int, tol, *, band_radius,
+                            threshold, refresh_every: int, use_pallas,
+                            metrics_every) -> MinMaxResult:
+    """Jitted banded while_loop on an already laid-out grid."""
+    from ..ops import minmax_pallas as mp
+    from ..ops import weno_pallas as wp
+    shape = phi0.shape
+    if not _route_pallas(use_pallas, phi0, 1, False):  # tiny permuted axes
+        return minmax_flow(phi0, dx, h1, iters, tol,
+                           band_radius=band_radius, threshold=threshold,
+                           use_pallas=False, metrics_every=metrics_every)
+    # finer y tile than the dense kernel's 128 so the skip granularity
+    # follows the band; same choice as the banded reinit core
+    tile = mp._pick_tile(shape)
+    tile = (tile[0], min(tile[1], 16))
+    interpret = jax.default_backend() != "tpu"
+    dt = phi0.dtype
+    phi_pad0 = mp.pad_for_pallas(phi0, tile)
+    args = (jnp.asarray(dx, dt), jnp.asarray(h1, dt),
+            jnp.asarray(band_radius, dt), jnp.asarray(threshold, dt))
+    denom = (shape[0] - 1) * (shape[1] - 1) * (shape[2] - 1)
+
+    def refresh(p):
+        # margin 0 is sound: frozen cells never move, so band membership
+        # of any owned cell in a frozen tile is invariant (docstring above)
+        return wp.tile_activity(p, shape, tile, args[0], band_radius,
+                                margin_cells=0.0)
+
+    def body(state):
+        p, n, _, _ = state
+        active = refresh(p)
+
+        def inner(_, cur):
+            return mp.minmax_step_padded(cur, *args, gshape=shape,
+                                         tile=tile, interpret=interpret,
+                                         active=active)
+
+        cur = jax.lax.fori_loop(0, refresh_every - 1, inner, p)
+        cur, dsq = mp.minmax_step_padded(cur, *args, gshape=shape,
+                                         tile=tile, interpret=interpret,
+                                         active=active, with_rms=True)
+        rms = jnp.sqrt(dsq / denom)
+        emit_iteration("minmax_narrowband", metrics_every,
+                       n + refresh_every, rms, band_tiles=jnp.sum(active),
+                       cells=shape[0] * shape[1] * shape[2])
+        done = (rms < tol) | jnp.isnan(rms)
+        return (cur, n + refresh_every, rms, done)
+
+    def cond(state):
+        _, n, _, done = state
+        return (~done) & (n < iters)
+
+    init = (phi_pad0, jnp.int32(0), jnp.asarray(jnp.inf, dt),
+            jnp.bool_(False))
+    phi_pad, n, rms, _ = jax.lax.while_loop(cond, body, init)
+    return MinMaxResult(phi=mp.crop_from_pallas(phi_pad, shape),
+                        iterations=n, final_rms=rms,
+                        diverged=jnp.isnan(rms))
+
+
 @partial(jax.jit, static_argnames=("steps", "avg_halfwidth",
                                    "use_true_curvature", "remat",
                                    "use_pallas"))

@@ -79,3 +79,75 @@ def test_narrowband_falls_back_when_unsupported():
     ref = reinit(phi0, dx, 0.1 * dx, 3, 0.0, use_pallas=False)
     np.testing.assert_allclose(np.asarray(r.phi), np.asarray(ref.phi),
                                atol=1e-12)
+
+
+def test_minmax_narrowband_bitwise_equals_dense():
+    """Banded min/max is EXACT (not banded-approximate like reinit): the
+    update gate is the cell's own frozen value, so frozen tiles can never
+    enter the band — every iterate matches the dense solve bitwise."""
+    from levelsetfortran_tpu.solvers.minmax_flow import (
+        minmax_flow, minmax_flow_narrowband)
+    shape = (32, 32, 32)
+    phi0 = _sphere(shape, r=0.45)
+    dx = 2.0 / 31
+    h1 = 0.01 * dx * dx
+    dense = minmax_flow(phi0, dx, h1, 12, 0.0, use_pallas=True)
+    banded = minmax_flow_narrowband(phi0, dx, h1, 12, 0.0,
+                                    refresh_every=4, use_pallas=True,
+                                    axis_order=(0, 1, 2))
+    assert int(banded.iterations) == 12
+    np.testing.assert_array_equal(np.asarray(banded.phi),
+                                  np.asarray(dense.phi))
+
+
+def test_minmax_banded_kernel_matches_dense_step():
+    """One banded kernel step with a genuinely skipping mask equals the
+    dense kernel step (inactive tiles are provably out-of-band)."""
+    from levelsetfortran_tpu.ops import minmax_pallas as mp
+    from levelsetfortran_tpu.ops.weno_pallas import tile_activity
+    shape = (32, 32, 32)
+    # off-center small sphere: tile skipping is (tx, ty)-column granular
+    # (whole z in lanes), so the body must be far from some x/y columns
+    xs = np.linspace(-1, 1, 32)
+    gx, gy, gz = np.meshgrid(xs, xs, xs, indexing="ij")
+    phi0 = jnp.asarray((np.sqrt((gx + 0.6) ** 2 + (gy + 0.6) ** 2
+                                + gz ** 2) - 0.2).astype(np.float32))
+    dx = 2.0 / 31
+    h1 = 0.01 * dx * dx
+    tile = (8, 16)
+    pad = mp.pad_for_pallas(phi0, tile)
+    args = (jnp.float32(dx), jnp.float32(h1), jnp.float32(4.1),
+            jnp.float32(0.0))
+    active = tile_activity(pad, shape, tile, dx, 4.1)
+    assert 0 < int(jnp.sum(active)) < active.size   # mask actually skips
+    dense = mp.minmax_step_padded(pad, *args, gshape=shape, tile=tile,
+                                  interpret=True)
+    banded, dsq = mp.minmax_step_padded(pad, *args, gshape=shape,
+                                        tile=tile, interpret=True,
+                                        active=active, with_rms=True)
+    own = np.s_[4:4 + 32, 8:8 + 32, :32]   # XA=4, YA=8 owned crop
+    np.testing.assert_array_equal(np.asarray(banded[own]),
+                                  np.asarray(dense[own]))
+    # fused RMS consistent with the actual change
+    d = np.asarray(banded[own]) - np.asarray(phi0)
+    np.testing.assert_allclose(float(dsq), float((d * d).sum()),
+                               rtol=1e-5)
+
+
+def test_minmax_sharded_banded_matches_dense(eight_devices):
+    """Sharded banded min/max (solve-long mask) == sharded dense min/max
+    == single-device dense."""
+    from levelsetfortran_tpu.parallel.mesh import make_mesh
+    from levelsetfortran_tpu.parallel.sharded import ShardedLevelSet
+    from levelsetfortran_tpu.solvers.minmax_flow import minmax_flow
+    shape = (32, 32, 32)
+    phi0 = _sphere(shape, r=0.45)
+    dx = 2.0 / 31
+    h1 = 0.01 * dx * dx
+    mesh = make_mesh((2, 2, 1), eight_devices[:4])
+    s_nb = ShardedLevelSet(mesh, shape, dx, use_pallas=True,
+                           narrow_band=True)
+    p_nb, n_nb, _ = s_nb.minmax_flow(s_nb.device_put(phi0), h1, 8, 0.0)
+    ref = minmax_flow(phi0, dx, h1, 8, 0.0, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(p_nb), np.asarray(ref.phi),
+                               atol=2e-7, rtol=1e-6)

@@ -325,3 +325,69 @@ class TestSignedDistanceInit:
         g = jax.grad(loss)(jnp.asarray(mesh.vertices, jnp.float64))
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).max()) > 0
+
+
+class TestInitCulling:
+    """Block-culled init (VERDICT r3 #2) vs the dense all-pairs scan."""
+
+    def test_culled_matches_dense(self):
+        from levelsetfortran_tpu.ops.init_sign import (
+            _dense_signed_distance_init, build_init_culling,
+            signed_distance_init)
+        mesh = icosphere_mesh(radius=0.6, subdiv=2)
+        grid = GRID_B                    # 24^3: blocks of 16 don't divide
+        v = jnp.asarray(mesh.vertices, jnp.float64)
+        e = jnp.asarray(mesh.elements)
+        dense = _dense_signed_distance_init(grid, v, e, dtype=jnp.float64)
+        cull = build_init_culling(grid, v, e, block=16)
+        out = signed_distance_init(grid, v, e, dtype=jnp.float64,
+                                   culling=cull)
+        # candidate sets provably contain the argmin; only reduction
+        # association order differs
+        np.testing.assert_allclose(np.asarray(out), np.asarray(dense),
+                                   rtol=1e-12, atol=1e-12)
+        # and the culling must actually drop triangles somewhere
+        E = mesh.elements.shape[0]
+        assert int((np.asarray(cull.cand_idx) == E).sum()) > 0
+
+    def test_culled_gradient_matches_dense(self):
+        """Gradients agree wherever the nearest triangle is unique.  (At
+        EXACT distance ties — symmetric box on a symmetric grid — the
+        subgradient is non-unique and 1-ulp fusion differences between the
+        blocked and flat layouts can route it to the other tied triangle;
+        the perturbation breaks every tie.)"""
+        from levelsetfortran_tpu.ops.init_sign import (
+            build_init_culling, signed_distance_init)
+        mesh = box_mesh(half_extent=(0.4, 0.4, 0.4))
+        grid = GRID_S
+        rng = np.random.default_rng(3)
+        v0 = jnp.asarray(mesh.vertices
+                         + 1e-3 * rng.standard_normal(mesh.vertices.shape),
+                         jnp.float64)
+        e = jnp.asarray(mesh.elements)
+        cull = build_init_culling(grid, v0, e, block=8)
+
+        def loss(v, c):
+            phi = signed_distance_init(grid, v, e, dtype=jnp.float64,
+                                       culling=c)
+            return jnp.sum(phi ** 2)
+
+        g_dense = jax.grad(lambda v: loss(v, None))(v0)
+        g_cull = jax.grad(lambda v: loss(v, cull))(v0)
+        np.testing.assert_allclose(np.asarray(g_cull), np.asarray(g_dense),
+                                   rtol=1e-10, atol=1e-12)
+
+    def test_sharded_culled_matches_dense(self, eight_devices):
+        from levelsetfortran_tpu.ops.init_sign import (
+            _dense_signed_distance_init, signed_distance_init_sharded)
+        from levelsetfortran_tpu.parallel.mesh import make_mesh
+        mesh = icosphere_mesh(radius=0.6, subdiv=2)
+        grid = make_grid(32, dx=0.05)    # 32 = 2*16: shard blocks 16 = block
+        v = jnp.asarray(mesh.vertices, jnp.float64)
+        e = jnp.asarray(mesh.elements)
+        dmesh = make_mesh((2, 2, 2), eight_devices)
+        out = signed_distance_init_sharded(grid, v, e, dmesh,
+                                           dtype=jnp.float64, cull_block=8)
+        dense = _dense_signed_distance_init(grid, v, e, dtype=jnp.float64)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(dense),
+                                   rtol=1e-12, atol=1e-12)

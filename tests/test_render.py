@@ -151,3 +151,30 @@ def test_sharded_vertex_gradient_matches_single_device(eight_devices):
     g_sh = np.asarray(jax.device_get(g_sh))
     assert np.abs(g_ref).max() > 0.0
     np.testing.assert_allclose(g_sh, g_ref, atol=1e-4, rtol=1e-3)
+
+
+def test_sharded_vertex_gradient_fused_kernels(eight_devices):
+    """BASELINE's mandated path end-to-end: sharded pixel->vertex
+    gradients where the backward stencil sweep runs the fused Pallas
+    ADJOINT kernels per shard (2D mesh; use_pallas forced on — interpret
+    mode on CPU)."""
+    from levelsetfortran_tpu.parallel.mesh import make_mesh
+
+    verts, faces = _octahedron()
+    grid = _grid(32)
+    mesh = make_mesh((2, 2, 1), eight_devices[:4])
+    kw = dict(eye=(0.0, -3.0, 0.0), target=(0.0, 0.0, 0.0),
+              reinit_steps=4, minmax_steps=2, height=10, width=10,
+              n_march_steps=48)
+
+    target = jnp.zeros((10, 10), jnp.float32)
+    l_ref, g_ref = image_loss_and_vertex_grad(verts, faces, grid, target,
+                                              use_pallas=True, **kw)
+    l_sh, g_sh = image_loss_and_vertex_grad(verts, faces, grid, target,
+                                            mesh=mesh, use_pallas=True,
+                                            **kw)
+    np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-4)
+    g_ref = np.asarray(g_ref)
+    g_sh = np.asarray(jax.device_get(g_sh))
+    assert np.abs(g_ref).max() > 0.0
+    np.testing.assert_allclose(g_sh, g_ref, atol=1e-4, rtol=1e-3)
