@@ -283,6 +283,104 @@ def bench_sharded_overhead(n):
     return t_sh / t_di, n ** 3 / t_sh
 
 
+def bench_serving(n, batch, steps=50):
+    """Batched-serving strategy measurement (VERDICT r3 weak #8): vmapped
+    stacked program vs per-geometry sequential fused solves, at sizes
+    straddling pipeline/batch.py's 96^3 auto-router crossover — the
+    committed numbers justify (or re-tune) the asserted threshold."""
+    from levelsetfortran_tpu.solvers.reinit import reinit_fixed, reinit_step
+    xs = jnp.linspace(-1.0, 1.0, n, dtype=jnp.float32)
+    gx, gy, gz = jnp.meshgrid(xs, xs, xs, indexing="ij")
+    base = jnp.sqrt(gx * gx + gy * gy + gz * gz)
+    radii = jnp.linspace(0.4, 0.7, batch, dtype=jnp.float32)
+    phis = jax.vmap(lambda r: 2.0 * (base - r))(radii)
+    dx = 2.0 / (n - 1)
+    h = jnp.float32(0.1 * dx)
+
+    @jax.jit
+    def batched(ps):
+        def step(p, _):
+            return jax.vmap(
+                lambda q, s: reinit_step(q, s, dx, h))(p, ps), None
+        out, _ = jax.lax.scan(step, ps, None, length=steps)
+        return jnp.sum(out)
+
+    @jax.jit
+    def solo(p):
+        return jnp.sum(reinit_fixed(p, dx, h, steps, remat=False))
+
+    def sequential(ps):
+        return sum(float(solo(ps[i])) for i in range(ps.shape[0]))
+
+    t_vmap = timed_min(batched, phis)
+    t_seq = timed_min(sequential, phis)
+    return batch / t_vmap, batch / t_seq
+
+
+def bench_banded_grad(n):
+    """Differentiable narrow-band reinit (VERDICT r3 weak #4): gradient
+    slope of the banded fused scan vs the dense fused scan on a
+    converged sphere SDF (banded adjoint kernel skips frozen tiles'
+    stencil adjoints)."""
+    from levelsetfortran_tpu.ops.weno_pallas import (
+        reinit_scan_pallas, reinit_scan_pallas_banded)
+    xs = jnp.linspace(-1.0, 1.0, n, dtype=jnp.float32)
+    gx, gy, gz = jnp.meshgrid(xs, xs, xs, indexing="ij")
+    phi0 = jnp.sqrt(gx * gx + gy * gy + gz * gz) - 0.6
+    dx = 2.0 / (n - 1)
+    h = 0.1 * dx
+
+    def make_dense(steps):
+        @jax.jit
+        def run(p):
+            g = jax.grad(lambda q: jnp.sum(
+                reinit_scan_pallas(q, dx, h, steps, precise=False)))(p)
+            return jnp.sum(g)
+        return run
+
+    def make_nb(steps):
+        @jax.jit
+        def run(p):
+            g = jax.grad(lambda q: jnp.sum(
+                reinit_scan_pallas_banded(q, dx, h, steps,
+                                          refresh_every=5,
+                                          axis_order=(0, 1, 2))))(p)
+            return jnp.sum(g)
+        return run
+
+    t_d = per_step_time(make_dense, phi0, small=5, big=20)
+    t_nb = per_step_time(make_nb, phi0, small=5, big=20)
+    return t_d / t_nb, n ** 3 / t_nb
+
+
+def bench_overlap_overhead(n):
+    """Structural overhead of the exchange/compute-overlap step (VERDICT
+    r3 missing #3 gate: <= 5% single-chip).  On a (1,1,1) mesh the
+    ppermutes are no-ops, so overlap vs plain isolates the cost of the
+    interior-rectangle + 4 shell-strip kernel launches replacing one
+    launch — the structure must be ~free where latency is zero."""
+    from levelsetfortran_tpu.parallel.mesh import make_mesh
+    from levelsetfortran_tpu.parallel.sharded import ShardedLevelSet
+    phi0 = make_phi(n)
+    dx = 2.0 / (n - 1)
+    h = 0.1 * dx
+    mesh = make_mesh((1, 1, 1), jax.devices()[:1])
+    plain = ShardedLevelSet(mesh, phi0.shape, dx)
+    ov = ShardedLevelSet(mesh, phi0.shape, dx, overlap=True)
+
+    def make(solver):
+        def factory(steps):
+            def run(p):
+                out, it, rms = solver.reinit(p, h, steps, 0.0)
+                return float(jnp.sum(out[:16, :16, :16]))
+            return run
+        return factory
+
+    t_plain = per_step_time(make(plain), plain.device_put(phi0))
+    t_ov = per_step_time(make(ov), ov.device_put(phi0))
+    return t_ov / t_plain
+
+
 def bench_sharded_grad(n, steps):
     """End-to-end gradient of the SHARDED fixed-step solve on the fused
     kernels (VERDICT r3 missing #1: per-shard Pallas forward + Pallas
@@ -488,6 +586,11 @@ def main():
         ("minmax_nb_flat", lambda: bench_minmax_nb(0, flat=True)),
         ("sharded_grad200_256", lambda: bench_sharded_grad(256, 200)),
         ("sharded_grad50_512", lambda: bench_sharded_grad(512, 50)),
+        ("overlap_overhead_256", lambda: bench_overlap_overhead(256)),
+        ("grad_nb_256", lambda: bench_banded_grad(256)),
+        ("serving_64", lambda: bench_serving(64, 8)),
+        ("serving_96", lambda: bench_serving(96, 4)),
+        ("serving_128", lambda: bench_serving(128, 2)),
     ]:
         try:
             if name == "reinit_bwd_256":
@@ -527,6 +630,17 @@ def main():
                 sg_cups, sg_secs = fn()
                 detail[name + "_cups"] = sg_cups
                 detail[name + "_seconds"] = sg_secs
+            elif name == "overlap_overhead_256":
+                detail[name] = fn()
+            elif name == "grad_nb_256":
+                nb_ratio, nb_cups = fn()
+                detail["grad_nb_256_speedup"] = nb_ratio
+                detail["grad_nb_256_cups"] = nb_cups
+            elif name.startswith("serving_"):
+                v_gps, s_gps = fn()
+                detail[name + "_vmap_gps"] = v_gps
+                detail[name + "_sequential_gps"] = s_gps
+                detail[name + "_vmap_speedup"] = v_gps / s_gps
             else:
                 detail[name + "_cups"] = fn()
         except Exception as e:          # record, never fail the run

@@ -124,6 +124,11 @@ class LevelSetConfig:
     mesh_axis_names: Tuple[str, ...] = ("x", "y", "z")
     halo_width: int = 4                 # WENO5 needs 3, order-8 derivs need 4
     steps_per_exchange: int = 1         # halo-deep pipelining depth (k)
+    #: Overlap the halo exchange with interior compute (k=1 only): the
+    #: interior kernel call is issued concurrently with the ICI ppermutes,
+    #: shell tiles run after arrival (parallel.sharded
+    #: reinit_step_overlap_persistent / reinit_step_local_overlap).
+    overlap: bool = False
 
     #: Gather the full fields to host numpy in PipelineResult (default).
     #: False keeps them as (possibly sharded) device arrays — at pod scale

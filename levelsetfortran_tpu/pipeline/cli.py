@@ -111,9 +111,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps-per-exchange", type=int, default=1,
                    help="halo-deep pipelining depth k: k reinit steps per "
                         "width-3k halo exchange")
+    p.add_argument("--overlap", action="store_true", default=d.overlap,
+                   help="overlap the halo exchange with interior compute "
+                        "(k=1): interior kernel call issued concurrently "
+                        "with the ICI ppermutes, shell tiles after arrival")
     p.add_argument("--checkpoint-dir", default=None,
                    help="enable orbax checkpoint/resume for the solver "
-                        "stages (single-device path)")
+                        "stages (composes with --mesh-shape: sharded "
+                        "fields save/restore in place)")
     p.add_argument("--checkpoint-chunk", type=int, default=500)
     p.add_argument("--data-parallel", type=int, default=None, metavar="N",
                    help="batch mode only: shard the geometry batch over N "
@@ -168,6 +173,7 @@ def config_from_args(args) -> LevelSetConfig:
         gather_results=args.gather_results,
         dtype=dtype,
         mesh_shape=mesh_shape, steps_per_exchange=args.steps_per_exchange,
+        overlap=args.overlap,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_chunk=args.checkpoint_chunk,
         quirks=QuirkConfig(**{q: True for q in qnames}))

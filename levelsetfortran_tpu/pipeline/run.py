@@ -167,21 +167,59 @@ def run_mesh(mesh: SurfaceMesh, config: LevelSetConfig, *,
             steps_per_exchange=cfg.steps_per_exchange,
             use_pallas=cfg.pallas_mode,
             narrow_band=_banded(cfg, initial=True),
-            band_radius=cfg.stencil_band_radius)
-        phi_s = solver.device_put(phi0)
-        phi_s, r_it_a, r_rms_a = solver.reinit(
-            phi_s, cfg.reinit_cfl * dxx, cfg.reinit_iters, cfg.reinit_tol)
-        phi_init = phi_s
-        phi_init.block_until_ready()
-        timer.mark("initialization")        # set3d.f90:314-316
+            band_radius=cfg.stencil_band_radius,
+            overlap=cfg.overlap,
+            metrics_every=cfg.metrics_every)
+        if cfg.checkpoint_dir:
+            # checkpoint/resume COMPOSED with the domain decomposition: a
+            # preempted multi-chip solve resumes mid-stage from the orbax
+            # state, with chunks staying fully fused sharded while_loops
+            # (solvers.checkpointed.reinit_resumable_sharded)
+            from ..solvers.checkpointed import (minmax_resumable_sharded,
+                                                reinit_resumable_sharded)
+            from ..utils.checkpoint import FieldCheckpointer
+            import os as _os
+            phi_s = jax.device_put(phi0, solver.sharding)
+            with FieldCheckpointer(
+                    _os.path.join(cfg.checkpoint_dir, "reinit")) as ck:
+                rr = reinit_resumable_sharded(
+                    solver, phi_s, cfg.reinit_cfl * dxx, cfg.reinit_iters,
+                    cfg.reinit_tol, ckpt=ck, chunk=cfg.checkpoint_chunk)
+            phi_init = rr.phi
+            phi_init.block_until_ready()
+            timer.mark("initialization")
 
-        phi_s, m_it_a, m_rms_a = solver.minmax_flow(
-            phi_init, cfg.minmax_cfl * dxx, cfg.minmax_iters,
-            cfg.minmax_tol, band_radius=cfg.band_radius,
-            threshold=cfg.minmax_threshold)
-        phi_smoothed = phi_s
-        phi_smoothed.block_until_ready()
-        timer.mark("minmax")
+            with FieldCheckpointer(
+                    _os.path.join(cfg.checkpoint_dir, "minmax")) as ck:
+                mm = minmax_resumable_sharded(
+                    solver, phi_init, cfg.minmax_cfl * dxx,
+                    cfg.minmax_iters, cfg.minmax_tol, ckpt=ck,
+                    chunk=cfg.checkpoint_chunk,
+                    band_radius=cfg.band_radius,
+                    threshold=cfg.minmax_threshold)
+            phi_smoothed = mm.phi
+            phi_smoothed.block_until_ready()
+            timer.mark("minmax")
+            r_it_a = jnp.int32(rr.iterations)
+            r_rms_a = jnp.asarray(rr.final_rms)
+            m_it_a = jnp.int32(mm.iterations)
+            m_rms_a = jnp.asarray(mm.final_rms)
+        else:
+            phi_s = solver.device_put(phi0)
+            phi_s, r_it_a, r_rms_a = solver.reinit(
+                phi_s, cfg.reinit_cfl * dxx, cfg.reinit_iters,
+                cfg.reinit_tol)
+            phi_init = phi_s
+            phi_init.block_until_ready()
+            timer.mark("initialization")    # set3d.f90:314-316
+
+            phi_s, m_it_a, m_rms_a = solver.minmax_flow(
+                phi_init, cfg.minmax_cfl * dxx, cfg.minmax_iters,
+                cfg.minmax_tol, band_radius=cfg.band_radius,
+                threshold=cfg.minmax_threshold)
+            phi_smoothed = phi_s
+            phi_smoothed.block_until_ready()
+            timer.mark("minmax")
         # the full grid never leaves the mesh: .vti output streams
         # z-slabs, advection samples per-shard (psum-merged), and the
         # final reinit + asymptotic error run on the sharded arrays
