@@ -608,6 +608,10 @@ def main():
                 detail["reinit_nb_256_cups"] = nb_cups
             elif name == "narrowband_flat":
                 detail["narrowband_speedup_flat_768x128x128"] = fn()
+            elif name == "grad_nb_256":
+                nb_ratio, nb_cups = fn()
+                detail["grad_nb_256_speedup"] = nb_ratio
+                detail["grad_nb_256_cups"] = nb_cups
             elif name.startswith("grad"):
                 g_cups, g_secs = fn()      # NB: never rebind `cups`
                 detail[name + "_cups"] = g_cups
@@ -632,10 +636,6 @@ def main():
                 detail[name + "_seconds"] = sg_secs
             elif name == "overlap_overhead_256":
                 detail[name] = fn()
-            elif name == "grad_nb_256":
-                nb_ratio, nb_cups = fn()
-                detail["grad_nb_256_speedup"] = nb_ratio
-                detail["grad_nb_256_cups"] = nb_cups
             elif name.startswith("serving_"):
                 v_gps, s_gps = fn()
                 detail[name + "_vmap_gps"] = v_gps

@@ -1280,8 +1280,10 @@ def _make_bwd_kernel(gshape, tile, nzp, eps_scale, eps_floor,
             coth_ref[0, 0] = acc[1]
             return
 
-        # seed the window accumulator: HBM scatter-accumulate read (the
-        # only serialized phase, ~1 ms/step)
+        # seed the window accumulator: HBM scatter-accumulate read, ISSUED
+        # EARLY so it overlaps the adjoint compute (serialized it costs
+        # ~1 ms/step); each branch waits it exactly once before touching
+        # the accumulator
         if _accumulate:
             rd_p = pltpu.make_async_copy(
                 cotphi_hbm.at[pl.ds(bi * tx, wx), pl.ds(bj * ty, wy), :],
@@ -1292,11 +1294,14 @@ def _make_bwd_kernel(gshape, tile, nzp, eps_scale, eps_floor,
                 accwin_s, sems.at[slot, 1])
             rd_p.start()
             rd_s.start()
-            rd_p.wait()
-            rd_s.wait()
-        else:                               # perf-debug: write-only (WRONG)
-            accwin_p[...] = jnp.zeros_like(accwin_p)
-            accwin_s[...] = jnp.zeros_like(accwin_s)
+
+        def wait_seed():
+            if _accumulate:
+                rd_p.wait()
+                rd_s.wait()
+            else:                           # perf-debug: write-only (WRONG)
+                accwin_p[...] = jnp.zeros_like(accwin_p)
+                accwin_s[...] = jnp.zeros_like(accwin_s)
 
         act = active_ref[bi, bj] > 0 if banded else None
 
@@ -1313,6 +1318,7 @@ def _make_bwd_kernel(gshape, tile, nzp, eps_scale, eps_floor,
 
             _, vjp_tail = jax.vjp(tail_f, win, swin_v, dx, h, gsum)
             cw, cs, cdx, ch, cgs = vjp_tail(g_v)
+            wait_seed()
             accwin_p[...] = accwin_p[...] + cw
             accwin_s[...] = accwin_s[...] + cs
             # per-axis hand adjoints accumulate straight into accwin_p
@@ -1333,6 +1339,7 @@ def _make_bwd_kernel(gshape, tile, nzp, eps_scale, eps_floor,
                 # inactive tile: the forward step was the identity on its
                 # owned cells — adjoint is a free cotangent passthrough
                 # (scalar cotangents exactly zero)
+                wait_seed()
                 cur = accwin_p[XA:XA + tx, YA:YA + ty, :]
                 accwin_p[XA:XA + tx, YA:YA + ty, :] = cur + g_v
         else:

@@ -258,9 +258,12 @@ def run_batch(inputs: Sequence[MeshLike],
     if strategy == "auto":
         # once ONE grid saturates the chip, vmap stops paying and the
         # solo path's fused Pallas kernels win; below that, stacking fills
-        # the VPU and amortizes compilation
+        # the VPU and amortizes compilation.  Threshold from the measured
+        # crossover (BENCH_DETAIL serving_*: vmap 3.4x faster at 64^3,
+        # 1.55x at 96^3, 0.95x at 128^3 on v5e) — sequential wins only
+        # past ~128^3.
         from ..solvers.reinit import _use_pallas
-        big = int(np.prod(grids[0].shape)) >= 96 ** 3
+        big = int(np.prod(grids[0].shape)) >= 128 ** 3
         strategy = ("sequential"
                     if big and not data_parallel
                     and _use_pallas("auto", phi0[0], None) else "vmap")

@@ -185,10 +185,32 @@ def minmax_flow_narrowband(phi0, dx, h1, iters: int, tol, *,
     if axis_order is not None:
         perm = tuple(axis_order)
     elif concrete:
+        from ..ops import minmax_pallas as mp
         perm = wp.banded_axis_order(phi0, dx, band_radius, 0.0,
-                                    tile=(8, 16))
+                                    tile=mp._pick_tile(phi0.shape))
     else:
         perm = wp.best_axis_order(phi0.shape)
+    if concrete and axis_order is None:
+        # occupancy guard: this kernel runs at ~0.25 ms/256³ — per-tile
+        # fixed costs mean banding only pays at real sparsity (measured on
+        # v5e: 0.75x at 87% active columns, 1.3x at ~30%).  High-occupancy
+        # fields route to the dense solver; banding stays EXACT either way.
+        from ..ops import minmax_pallas as mp
+        tile = mp._pick_tile(tuple(phi0.shape[q] for q in perm))
+        pp = jnp.transpose(phi0, perm) if perm != (0, 1, 2) else phi0
+        proj = jnp.any(jnp.abs(pp) < band_radius * dx, axis=2)
+        nbx = -(-pp.shape[0] // tile[0])
+        nby = -(-pp.shape[1] // tile[1])
+        pad2 = jnp.pad(proj, ((0, nbx * tile[0] - pp.shape[0]),
+                              (0, nby * tile[1] - pp.shape[1])))
+        occ = float(jnp.mean(jnp.max(
+            pad2.reshape(nbx, tile[0], nby, tile[1]),
+            axis=(1, 3)).astype(jnp.float32)))
+        if occ > 0.6:
+            return minmax_flow(phi0, dx, h1, iters, tol,
+                               band_radius=band_radius,
+                               threshold=threshold, use_pallas=use_pallas,
+                               metrics_every=metrics_every)
     p = phi0 if perm == (0, 1, 2) else jnp.transpose(phi0, perm)
     r = _minmax_narrowband_core(p, dx, h1, iters, tol,
                                 band_radius=band_radius,
@@ -214,10 +236,13 @@ def _minmax_narrowband_core(phi0, dx, h1, iters: int, tol, *, band_radius,
         return minmax_flow(phi0, dx, h1, iters, tol,
                            band_radius=band_radius, threshold=threshold,
                            use_pallas=False, metrics_every=metrics_every)
-    # finer y tile than the dense kernel's 128 so the skip granularity
-    # follows the band; same choice as the banded reinit core
+    # the DENSE kernel's tile: at ~15 ops/cell the step is per-tile-
+    # overhead-bound below ~0.3 ms, and a (8, 16) banded tile (as the
+    # reinit core uses) measured 7x SLOWER than dense at 256^3 — 8x the
+    # tile count swamps any skipped traffic.  Sparsity is exploited at
+    # tx=8 granularity along the FIRST axis, which banded_axis_order
+    # rotates onto the band-sparse axis for flat geometry.
     tile = mp._pick_tile(shape)
-    tile = (tile[0], min(tile[1], 16))
     interpret = jax.default_backend() != "tpu"
     dt = phi0.dtype
     phi_pad0 = mp.pad_for_pallas(phi0, tile)
