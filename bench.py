@@ -650,6 +650,19 @@ def main():
         json.dump(detail, f, indent=2)
         f.write("\n")
 
+    # keep README's generated measured-numbers block in lockstep with the
+    # fresh BENCH_DETAIL (tests/test_docs.py gates on the two matching)
+    try:
+        import os
+        import subprocess
+        subprocess.run(
+            ["python", os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "tools",
+                "update_readme_bench.py")],
+            check=True, capture_output=True)
+    except Exception:
+        pass                               # never fail the bench run
+
     print(json.dumps({
         "metric": "weno5_reinit_cell_updates_per_sec_2563",
         "value": cups,

@@ -1198,21 +1198,64 @@ def _make_bwd_kernel(gshape, tile, nzp, eps_scale, eps_floor,
                 gwin_d.at[slot], sems.at[slot, 2])
             return p, s, gg
 
+        def in_dma_g(slot, block_lin):
+            wi = block_lin // nby
+            wj = block_lin % nby
+            return pltpu.make_async_copy(
+                g_hbm.at[pl.ds(XA + wi * tx, tx), pl.ds(YA + wj * ty, ty), :],
+                gwin_d.at[slot], sems.at[slot, 2])
+
+        def block_active(block_lin):
+            wi = block_lin // nby
+            wj = block_lin % nby
+            return active_ref[wi, wj] > 0
+
+        def start_loads(slot, block_lin):
+            if not banded:
+                for c in in_dmas(slot, block_lin):
+                    c.start()
+                return
+            a = block_active(block_lin)
+
+            @pl.when(a)
+            def _():
+                for c in in_dmas(slot, block_lin):
+                    c.start()
+
+            @pl.when(~a)
+            def _():
+                # inactive tile: the identity-passthrough adjoint needs
+                # only the owned-tile cotangent g
+                in_dma_g(slot, block_lin).start()
+
+        def wait_loads(slot, block_lin):
+            if not banded:
+                for c in in_dmas(slot, block_lin):
+                    c.wait()
+                return
+            a = block_active(block_lin)
+
+            @pl.when(a)
+            def _():
+                for c in in_dmas(slot, block_lin):
+                    c.wait()
+
+            @pl.when(~a)
+            def _():
+                in_dma_g(slot, block_lin).wait()
+
         # double-buffered input prefetch (same pattern as the forward
-        # kernel): block lin+1's three loads overlap block lin's adjoint
+        # kernel): block lin+1's loads overlap block lin's adjoint
         @pl.when(lin == 0)
         def _():
-            for c in in_dmas(0, 0):
-                c.start()
+            start_loads(0, 0)
 
         @pl.when(lin + 1 < n_blocks)
         def _():
-            for c in in_dmas((lin + 1) % 2, lin + 1):
-                c.start()
+            start_loads((lin + 1) % 2, lin + 1)
 
         slot = lin % 2
-        for c in in_dmas(slot, lin):
-            c.wait()
+        wait_loads(slot, lin)
         pwin = pwin_d.at[slot]
         swin = swin_d.at[slot]
         gwin = gwin_d.at[slot]
@@ -1229,18 +1272,22 @@ def _make_bwd_kernel(gshape, tile, nzp, eps_scale, eps_floor,
         # hand-chained adjoint (_axis_gsq_bwd: jax.vjp only over the
         # elementwise WENO-pair algebra; Godunov routing and the
         # slice/roll transposes written by hand) one at a time — each
-        # axis's residuals die before the next is traced.
-        valid, svalid = _window_valid_masks(
-            pwin.shape, swin.shape, gx0, gy0, gshape=gshape, rim=rim)
-        win = jnp.where(valid, pwin[...], 0.0)
-        swin_v = jnp.where(svalid, swin[...], 0.0)
-        del pwin, swin
+        # axis's residuals die before the next is traced.  Window reads
+        # (sanitize/pos) happen inside sanitize_windows, called only on
+        # the active path — inactive tiles never loaded their windows.
         gx, gy, gz, deep, interior = _tile_masks(
             gx0, gy0, gshape=gshape, tile=tile, rim=rim, nzp=nzp)
-        pos = swin_v[:, YA - rim:YA - rim + ty + 2 * rim, :] > 0.0
         akw = dict(tile=tile, rim=rim, eps_scale=eps_scale,
                    eps_floor=eps_floor, quirk_y_p5_zero=quirk_y_p5_zero,
                    ratio_floor=ratio_floor, recip=_recip_exact, roll=_roll)
+
+        def sanitize_windows():
+            valid, svalid = _window_valid_masks(
+                pwin.shape, swin.shape, gx0, gy0, gshape=gshape, rim=rim)
+            w = jnp.where(valid, pwin[...], 0.0)
+            sv = jnp.where(svalid, swin[...], 0.0)
+            p_ = sv[:, YA - rim:YA - rim + ty + 2 * rim, :] > 0.0
+            return w, sv, p_
 
         # output-side validity: zero the cotangent at round-up/off-grid
         # OUTPUT cells so no adjoint flows from phantom outputs (replaces
@@ -1260,6 +1307,7 @@ def _make_bwd_kernel(gshape, tile, nzp, eps_scale, eps_floor,
             acc[1] = jnp.zeros((), dx.dtype)
 
         if not _arrays:                     # perf-debug: compute only
+            win, swin_v, pos = sanitize_windows()
             gsum0 = None
             for axis in (0, 1, 2):
                 ga = _tile_axis_gsq(win, dx, pos, deep, axis, **akw)
@@ -1282,9 +1330,12 @@ def _make_bwd_kernel(gshape, tile, nzp, eps_scale, eps_floor,
 
         # seed the window accumulator: HBM scatter-accumulate read, ISSUED
         # EARLY so it overlaps the adjoint compute (serialized it costs
-        # ~1 ms/step); each branch waits it exactly once before touching
-        # the accumulator
-        if _accumulate:
+        # ~1 ms/step); each branch starts and waits its own variant
+        # exactly once before touching the accumulator.  Inactive tiles
+        # move only their OWNED region of cot_phi (identity passthrough);
+        # their cot_sign window is untouched in HBM, so neither rd_s nor
+        # wr_s runs for them.
+        def seed_dmas():
             rd_p = pltpu.make_async_copy(
                 cotphi_hbm.at[pl.ds(bi * tx, wx), pl.ds(bj * ty, wy), :],
                 accwin_p, sems.at[slot, 0])
@@ -1292,20 +1343,43 @@ def _make_bwd_kernel(gshape, tile, nzp, eps_scale, eps_floor,
                 cotsign_hbm.at[pl.ds(bi * tx + XA - rim, ex),
                                pl.ds(bj * ty, wy), :],
                 accwin_s, sems.at[slot, 1])
-            rd_p.start()
-            rd_s.start()
+            return rd_p, rd_s
 
-        def wait_seed():
+        def seed_dma_small():
+            return pltpu.make_async_copy(
+                cotphi_hbm.at[pl.ds(XA + bi * tx, tx),
+                              pl.ds(YA + bj * ty, ty), :],
+                accwin_p.at[pl.ds(XA, tx), pl.ds(YA, ty), :],
+                sems.at[slot, 0])
+
+        act = active_ref[bi, bj] > 0 if banded else None
+        if _accumulate:
+            if banded:
+                @pl.when(act)
+                def _():
+                    for c in seed_dmas():
+                        c.start()
+
+                @pl.when(~act)
+                def _():
+                    seed_dma_small().start()
+            else:
+                for c in seed_dmas():
+                    c.start()
+
+        def wait_seed(small):
             if _accumulate:
-                rd_p.wait()
-                rd_s.wait()
+                if small:
+                    seed_dma_small().wait()
+                else:
+                    for c in seed_dmas():
+                        c.wait()
             else:                           # perf-debug: write-only (WRONG)
                 accwin_p[...] = jnp.zeros_like(accwin_p)
                 accwin_s[...] = jnp.zeros_like(accwin_s)
 
-        act = active_ref[bi, bj] > 0 if banded else None
-
         def full_adjoint():
+            win, swin_v, pos = sanitize_windows()
             gsum = None
             for axis in (0, 1, 2):
                 ga = _tile_axis_gsq(win, dx, pos, deep, axis, **akw)
@@ -1318,7 +1392,7 @@ def _make_bwd_kernel(gshape, tile, nzp, eps_scale, eps_floor,
 
             _, vjp_tail = jax.vjp(tail_f, win, swin_v, dx, h, gsum)
             cw, cs, cdx, ch, cgs = vjp_tail(g_v)
-            wait_seed()
+            wait_seed(small=False)
             accwin_p[...] = accwin_p[...] + cw
             accwin_s[...] = accwin_s[...] + cs
             # per-axis hand adjoints accumulate straight into accwin_p
@@ -1339,7 +1413,7 @@ def _make_bwd_kernel(gshape, tile, nzp, eps_scale, eps_floor,
                 # inactive tile: the forward step was the identity on its
                 # owned cells — adjoint is a free cotangent passthrough
                 # (scalar cotangents exactly zero)
-                wait_seed()
+                wait_seed(small=True)
                 cur = accwin_p[XA:XA + tx, YA:YA + ty, :]
                 accwin_p[XA:XA + tx, YA:YA + ty, :] = cur + g_v
         else:
@@ -1347,19 +1421,38 @@ def _make_bwd_kernel(gshape, tile, nzp, eps_scale, eps_floor,
 
         cotdx_ref[0, 0] = acc[0]
         coth_ref[0, 0] = acc[1]
-        wr_p = pltpu.make_async_copy(
-            accwin_p,
-            cotphi_hbm.at[pl.ds(bi * tx, wx), pl.ds(bj * ty, wy), :],
-            sems.at[slot, 0])
-        wr_s = pltpu.make_async_copy(
-            accwin_s,
-            cotsign_hbm.at[pl.ds(bi * tx + XA - rim, ex),
-                           pl.ds(bj * ty, wy), :],
-            sems.at[slot, 1])
-        wr_p.start()
-        wr_s.start()
-        wr_p.wait()
-        wr_s.wait()
+
+        def writeback_full():
+            wr_p = pltpu.make_async_copy(
+                accwin_p,
+                cotphi_hbm.at[pl.ds(bi * tx, wx), pl.ds(bj * ty, wy), :],
+                sems.at[slot, 0])
+            wr_s = pltpu.make_async_copy(
+                accwin_s,
+                cotsign_hbm.at[pl.ds(bi * tx + XA - rim, ex),
+                               pl.ds(bj * ty, wy), :],
+                sems.at[slot, 1])
+            wr_p.start()
+            wr_s.start()
+            wr_p.wait()
+            wr_s.wait()
+
+        if banded:
+            @pl.when(act)
+            def _():
+                writeback_full()
+
+            @pl.when(~act)
+            def _():
+                wr = pltpu.make_async_copy(
+                    accwin_p.at[pl.ds(XA, tx), pl.ds(YA, ty), :],
+                    cotphi_hbm.at[pl.ds(XA + bi * tx, tx),
+                                  pl.ds(YA + bj * ty, ty), :],
+                    sems.at[slot, 0])
+                wr.start()
+                wr.wait()
+        else:
+            writeback_full()
 
     return kernel, (wx, wy), ex
 
