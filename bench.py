@@ -414,9 +414,10 @@ def bench_sharded_grad(n, steps):
 
 def bench_minmax_nb(n, flat=False):
     """Narrow-band min/max speedup (VERDICT r3 weak #1): dense fused
-    kernel vs tile-skipping banded kernel.  The kernel is memory-bound, so
-    the ceiling is the active-column fraction — a centered sphere's band
-    shell projects onto the full enclosed disk (~59% of columns at r=0.6),
+    kernel vs zero-copy tile-skipping banded kernel (ping-pong carry:
+    inactive tiles move NO bytes).  The kernel is memory-bound, so the
+    ceiling is the active-column fraction — a centered sphere's band
+    shell projects onto the full enclosed disk (~69% of tiles at r=0.6),
     while the flat two-body fixture leaves most columns skippable."""
     from levelsetfortran_tpu.solvers.minmax_flow import (
         minmax_flow, minmax_flow_narrowband)
@@ -448,7 +449,6 @@ def bench_minmax_nb(n, flat=False):
         @jax.jit
         def run(p):
             r = minmax_flow_narrowband(p, dx, h1, steps, 0.0,
-                                       refresh_every=5,
                                        axis_order=(0, 1, 2))
             return jnp.sum(r.phi)
         return run

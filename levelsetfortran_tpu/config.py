@@ -111,6 +111,12 @@ class LevelSetConfig:
     #: Steps between narrow-band activity-mask refreshes (drift margin grows
     #: with this; see solvers.reinit.reinit_narrowband).
     nb_refresh_every: int = 8
+    #: Mask-refresh interval for the BANDED MIN/MAX stage, separate from the
+    #: reinit interval because the economics differ: banded min/max is exact
+    #: for ANY interval (frozen cells can never enter the band) and its
+    #: zero-copy tile skipping makes the refresh pass the dominant banding
+    #: overhead, so it amortizes over a longer interval.
+    minmax_nb_refresh_every: int = 16
     #: Stream {iteration, rms, band_tiles, cells/s} events from inside the
     #: solver loops every N iterations (0 = off) — the structured form of
     #: the reference's per-iteration prints (subs.f90:923, set3d.f90:456).

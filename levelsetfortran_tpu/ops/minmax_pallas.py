@@ -40,14 +40,24 @@ def _jnp_step(phi, dx, h1, band_radius, threshold):
     return jnp.where(nb & interior_mask(phi.shape, 1), phi + h1 * f, phi)
 
 
-def _make_kernel(gshape, tile, nzp, with_rms=False, banded=False):
+def _make_kernel(gshape, tile, nzp, with_rms=False, banded=False,
+                 skip_inactive=False):
     """``banded=True`` adds an SMEM (nbx, nby) int32 activity-mask input
     after the scalar args; inactive tiles skip the stencil entirely and
     move ONLY their owned region (passthrough copy) — the narrow-band
     restriction the reference applies to exactly this loop
     (``set3d.f90:402,420``, masks ``subs.f90:178-207``).  The kernel is
     memory-bound (~15 VPU ops/cell), so skipped window DMAs convert
-    near-proportionally into step time."""
+    near-proportionally into step time.
+
+    ``skip_inactive=True`` (requires ``banded``) drops even the
+    passthrough: the output buffer is ALIASED to a carry input that
+    already holds every frozen tile's values (a ping-pong double buffer
+    kept in sync by the caller — see ``minmax_flow_narrowband``), so an
+    inactive
+    tile starts no DMA, waits no semaphore, and computes nothing.  This
+    is what makes banding pay on a memory-bound kernel: the passthrough
+    form still moves ~85% of a tile's dense traffic."""
     nx, ny, nz = gshape          # TRUE grid shape: bounds for global masks
     tx, ty = tile
     wx, wy = tx + 2, ty + 2 * YA
@@ -56,8 +66,12 @@ def _make_kernel(gshape, tile, nzp, with_rms=False, banded=False):
         if banded:
             active_ref = rest[0]
             rest = rest[1:]
-        phi_hbm, out_hbm = rest[0], rest[1]
-        rest = rest[2:]
+        phi_hbm = rest[0]
+        rest = rest[1:]
+        if skip_inactive:
+            rest = rest[1:]          # carry input: same memory as out_hbm
+        out_hbm = rest[0]
+        rest = rest[1:]
         if with_rms:
             rms_ref, slab, oslab, in_sems, out_sems, racc = rest
         else:
@@ -101,9 +115,10 @@ def _make_kernel(gshape, tile, nzp, with_rms=False, banded=False):
             def _():
                 in_dma(slot, block_lin).start()
 
-            @pl.when(~act)
-            def _():
-                in_dma_small(slot, block_lin).start()
+            if not skip_inactive:
+                @pl.when(~act)
+                def _():
+                    in_dma_small(slot, block_lin).start()
 
         def wait_load(slot, block_lin):
             if not banded:
@@ -115,9 +130,10 @@ def _make_kernel(gshape, tile, nzp, with_rms=False, banded=False):
             def _():
                 in_dma(slot, block_lin).wait()
 
-            @pl.when(~act)
-            def _():
-                in_dma_small(slot, block_lin).wait()
+            if not skip_inactive:
+                @pl.when(~act)
+                def _():
+                    in_dma_small(slot, block_lin).wait()
 
         def out_dma(slot, block_lin):
             wi = block_lin // nby
@@ -171,39 +187,65 @@ def _make_kernel(gshape, tile, nzp, with_rms=False, banded=False):
             nb = jnp.abs(c) < band_radius * dx
             return jnp.where(nb & interior, c + h1 * f, c)
 
-        if banded:
-            res = jax.lax.cond(active_ref[bi, bj] > 0, compute,
-                               lambda: slab[slot, 1:1 + tx, YA:YA + ty, :])
-        else:
-            res = compute()
+        def wait_out(j):
+            # semaphore hygiene under skipping: wait exactly the DMAs that
+            # were started — tile j started its out iff it was active
+            if skip_inactive:
+                @pl.when(block_active(j))
+                def _():
+                    out_dma(j % 2, j).wait()
+            else:
+                out_dma(j % 2, j).wait()
 
         if with_rms:
-            # fused convergence reduction: res == c outside nb & interior
-            # (and exactly c for an inactive tile), so no extra validity
-            # mask is needed
-            d = res - slab[slot, 1:1 + tx, YA:YA + ty, :]
-            dsq = jnp.sum(d * d)
-
             @pl.when(lin == 0)
             def _():
-                racc[0] = jnp.zeros((), res.dtype)
+                racc[0] = jnp.zeros((), slab.dtype)
 
-            racc[0] += dsq
+        if skip_inactive:
+            @pl.when(lin >= 2)
+            def _():
+                wait_out(lin - 2)
+
+            @pl.when(block_active(lin))
+            def _():
+                res = compute()
+                if with_rms:
+                    d = res - slab[slot, 1:1 + tx, YA:YA + ty, :]
+                    racc[0] += jnp.sum(d * d)
+                oslab[slot] = res
+                out_dma(slot, lin).start()
+        else:
+            if banded:
+                res = jax.lax.cond(
+                    active_ref[bi, bj] > 0, compute,
+                    lambda: slab[slot, 1:1 + tx, YA:YA + ty, :])
+            else:
+                res = compute()
+
+            if with_rms:
+                # fused convergence reduction: res == c outside
+                # nb & interior (and exactly c for an inactive tile), so
+                # no extra validity mask is needed
+                d = res - slab[slot, 1:1 + tx, YA:YA + ty, :]
+                racc[0] += jnp.sum(d * d)
+
+            @pl.when(lin >= 2)
+            def _():
+                wait_out(lin - 2)
+
+            oslab[slot] = res
+            out_dma(slot, lin).start()
+
+        if with_rms:
             rms_ref[0, 0] = racc[0]
-
-        @pl.when(lin >= 2)
-        def _():
-            out_dma(slot, lin - 2).wait()
-
-        oslab[slot] = res
-        out_dma(slot, lin).start()
 
         @pl.when(lin == n_blocks - 1)
         def _():
             @pl.when(n_blocks >= 2)
             def _():
-                out_dma((lin - 1) % 2, lin - 1).wait()
-            out_dma(slot, lin).wait()
+                wait_out(lin - 1)
+            wait_out(lin)
 
     return kernel, (wx, wy)
 
@@ -215,10 +257,11 @@ def _pick_tile(gshape):
 
 
 @functools.partial(jax.jit, static_argnames=("gshape", "tile", "interpret",
-                                             "with_rms"))
+                                             "with_rms"),
+                   donate_argnames=("carry",))
 def minmax_step_padded(phi_pad, dx, h1, band_radius, threshold, *, gshape,
                        tile, interpret, offsets=None, with_rms=False,
-                       active=None):
+                       active=None, carry=None):
     """One min/max Euler step on a padded-layout array.
 
     ``offsets`` (ox, oy): this block's global origin — (0, 0) single-device,
@@ -227,7 +270,14 @@ def minmax_step_padded(phi_pad, dx, h1, band_radius, threshold, *, gshape,
     weno_pallas._pallas_step_padded).  ``active`` ((nbx, nby) int32,
     optional) enables narrow-band execution: tiles with ``active == 0``
     pass their owned cells through with a small DMA and skip everything
-    else (see weno_pallas.tile_activity)."""
+    else (see weno_pallas.tile_activity).
+
+    ``carry`` (requires ``active``): a DONATED buffer already holding
+    every inactive tile's owned values; the output aliases it, and
+    inactive tiles then move ZERO bytes — no DMA, no compute, no
+    semaphore.  Callers maintain the ping-pong invariant (the previous
+    iterate qualifies whenever no frozen-tile cell changed in the last
+    two steps — see ``minmax_flow_narrowband``)."""
     nx, ny, nz = gshape
     tx, ty = tile
     nxp = phi_pad.shape[0] - 2 * XA
@@ -236,8 +286,10 @@ def minmax_step_padded(phi_pad, dx, h1, band_radius, threshold, *, gshape,
     if offsets is None:
         offsets = (jnp.int32(0), jnp.int32(0))
     banded = active is not None
+    skip = carry is not None
+    assert not skip or banded, "carry requires an activity mask"
     kernel, (wx, wy) = _make_kernel(gshape, tile, nzp, with_rms=with_rms,
-                                    banded=banded)
+                                    banded=banded, skip_inactive=skip)
     scalar = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                           memory_space=pltpu.SMEM)
     itemsize = phi_pad.dtype.itemsize
@@ -273,6 +325,11 @@ def minmax_step_padded(phi_pad, dx, h1, band_radius, threshold, *, gshape,
         args.append(jnp.asarray(active, jnp.int32))
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     args.append(phi_pad)
+    aliases = {}
+    if skip:
+        aliases[len(args)] = 0       # carry input aliases the phi output
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        args.append(carry)
     res = pl.pallas_call(
         kernel,
         out_shape=out_shape,
@@ -280,6 +337,7 @@ def minmax_step_padded(phi_pad, dx, h1, band_radius, threshold, *, gshape,
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=int(vmem_limit),

@@ -87,6 +87,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "fused kernel applies), on, off")
     p.add_argument("--nb-refresh-every", type=int, default=d.nb_refresh_every,
                    help="steps between narrow-band activity refreshes")
+    p.add_argument("--minmax-nb-refresh-every", type=int,
+                   default=d.minmax_nb_refresh_every,
+                   help="mask-refresh interval for the banded min/max "
+                        "stage (exact for any interval; longer amortizes "
+                        "the refresh pass)")
     p.add_argument("--no-gather-results", dest="gather_results",
                    action="store_false", default=d.gather_results,
                    help="keep full fields as (sharded) device arrays in "
@@ -169,6 +174,7 @@ def config_from_args(args) -> LevelSetConfig:
         use_pallas=args.use_pallas,
         narrow_band=args.narrow_band,
         nb_refresh_every=args.nb_refresh_every,
+        minmax_nb_refresh_every=args.minmax_nb_refresh_every,
         metrics_every=args.metrics_every,
         gather_results=args.gather_results,
         dtype=dtype,

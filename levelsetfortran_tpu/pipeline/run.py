@@ -287,7 +287,7 @@ def run_mesh(mesh: SurfaceMesh, config: LevelSetConfig, *,
                 phi_init, cfg.dx, cfg.minmax_cfl * dxx, cfg.minmax_iters,
                 cfg.minmax_tol, band_radius=cfg.band_radius,
                 threshold=cfg.minmax_threshold,
-                refresh_every=cfg.nb_refresh_every,
+                refresh_every=cfg.minmax_nb_refresh_every,
                 use_pallas=cfg.pallas_mode,
                 metrics_every=cfg.metrics_every)
         else:

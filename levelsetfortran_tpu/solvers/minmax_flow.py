@@ -154,7 +154,7 @@ def minmax_flow(phi0, dx, h1, iters: int, tol, *, band_radius=4.1,
 
 def minmax_flow_narrowband(phi0, dx, h1, iters: int, tol, *,
                            band_radius=4.1, threshold=0.0,
-                           refresh_every: int = 8, use_pallas="auto",
+                           refresh_every: int = 16, use_pallas="auto",
                            metrics_every: int = 0,
                            axis_order=None) -> MinMaxResult:
     """Narrow-band min/max flow: whole kernel tiles outside the active
@@ -191,10 +191,11 @@ def minmax_flow_narrowband(phi0, dx, h1, iters: int, tol, *,
     else:
         perm = wp.best_axis_order(phi0.shape)
     if concrete and axis_order is None:
-        # occupancy guard: this kernel runs at ~0.25 ms/256³ — per-tile
-        # fixed costs mean banding only pays at real sparsity (measured on
-        # v5e: 0.75x at 87% active columns, 1.3x at ~30%).  High-occupancy
-        # fields route to the dense solver; banding stays EXACT either way.
+        # occupancy guard: with zero-copy tile skipping (ping-pong carry,
+        # inactive tiles move no bytes) banding pays whenever a real
+        # fraction of columns is skippable — measured on v5e: 1.4x at 69%
+        # active tiles (sphere 256³), 2.3x on the flat fixture.  Only
+        # near-full occupancy routes dense; banding stays EXACT either way.
         from ..ops import minmax_pallas as mp
         tile = mp._pick_tile(tuple(phi0.shape[q] for q in perm))
         pp = jnp.transpose(phi0, perm) if perm != (0, 1, 2) else phi0
@@ -206,7 +207,7 @@ def minmax_flow_narrowband(phi0, dx, h1, iters: int, tol, *,
         occ = float(jnp.mean(jnp.max(
             pad2.reshape(nbx, tile[0], nby, tile[1]),
             axis=(1, 3)).astype(jnp.float32)))
-        if occ > 0.6:
+        if occ > 0.85:
             return minmax_flow(phi0, dx, h1, iters, tol,
                                band_radius=band_radius,
                                threshold=threshold, use_pallas=use_pallas,
@@ -249,40 +250,85 @@ def _minmax_narrowband_core(phi0, dx, h1, iters: int, tol, *, band_radius,
     args = (jnp.asarray(dx, dt), jnp.asarray(h1, dt),
             jnp.asarray(band_radius, dt), jnp.asarray(threshold, dt))
     denom = (shape[0] - 1) * (shape[1] - 1) * (shape[2] - 1)
+    kw = dict(gshape=shape, tile=tile, interpret=interpret)
 
     def refresh(p):
-        # margin 0 is sound: frozen cells never move, so band membership
-        # of any owned cell in a frozen tile is invariant (docstring above)
+        # margin 1 cell is freeze hysteresis for the ping-pong skip: a
+        # cell that changed at the chunk's last step updated from inside
+        # the band, so |phi| <= band_radius*dx + h1*|F| < (band_radius+1)*dx
+        # (h1 = CFL*dx^2, |lap| <~ 6*L/dx, L the local Lipschitz bound) —
+        # its tile therefore stays active one more chunk, in which BOTH
+        # ping-pong buffers receive its (now unchanging) value before the
+        # tile can freeze.  The margin only ever keeps more tiles active,
+        # so the solve stays exact.
         return wp.tile_activity(p, shape, tile, args[0], band_radius,
-                                margin_cells=0.0)
+                                margin_cells=1.0)
+
+    if iters <= 0:
+        return MinMaxResult(phi=phi0, iterations=jnp.int32(0),
+                            final_rms=jnp.asarray(jnp.inf, dt),
+                            diverged=jnp.bool_(False))
+
+    # ping-pong double buffer: inactive tiles move ZERO bytes because the
+    # output aliases the PREVIOUS iterate, whose frozen-tile values are
+    # identical (out-of-band cells never change).  The first step runs in
+    # passthrough mode to mint a second distinct buffer.
+    active0 = refresh(phi_pad0)
+    cur0, dsq0 = mp.minmax_step_padded(phi_pad0, *args, active=active0,
+                                       with_rms=True, **kw)
+    rms0 = jnp.sqrt(dsq0 / denom)
+
+    # chunks are rounded up to EVEN so the double-step unrolling below
+    # never needs the odd trailing step (and its swap copy) except on the
+    # final partial chunk; refreshing a step later only delays mask
+    # tightening, which is always sound
+    chunk = refresh_every + (refresh_every % 2)
 
     def body(state):
-        p, n, _, _ = state
-        active = refresh(p)
+        prev, cur, n, _, _ = state
+        active = refresh(cur)
+        m = jnp.minimum(jnp.int32(chunk), jnp.int32(iters) - n)
 
-        def inner(_, cur):
-            return mp.minmax_step_padded(cur, *args, gshape=shape,
-                                         tile=tile, interpret=interpret,
-                                         active=active)
+        # DOUBLE steps keep XLA's in-place while-loop carries: step a
+        # writes prev's buffer, step b writes cur's buffer, so each carry
+        # slot updates in place and the swap that would force XLA to copy
+        # a full buffer per step (measured: a zero-work all-frozen "skip"
+        # step costing 1.7x a dense step) never happens.
+        def double(_, st):
+            pv, cr, _ = st
+            a = mp.minmax_step_padded(cr, *args, active=active,
+                                      carry=pv, **kw)
+            b, dsq = mp.minmax_step_padded(a, *args, active=active,
+                                           carry=cr, with_rms=True, **kw)
+            return (a, b, dsq)
 
-        cur = jax.lax.fori_loop(0, refresh_every - 1, inner, p)
-        cur, dsq = mp.minmax_step_padded(cur, *args, gshape=shape,
-                                         tile=tile, interpret=interpret,
-                                         active=active, with_rms=True)
+        prev, cur, dsq = jax.lax.fori_loop(
+            0, m // 2, double, (prev, cur, jnp.zeros((), dt)))
+
+        def odd_step(st):
+            # trailing single step of an odd chunk: passthrough mode (a
+            # fresh output buffer — the one swap-copy per odd chunk)
+            pv, cr, _ = st
+            nw, d = mp.minmax_step_padded(cr, *args, active=active,
+                                          with_rms=True, **kw)
+            return (cr, nw, d)
+
+        prev, cur, dsq = jax.lax.cond(m % 2 == 1, odd_step,
+                                      lambda st: st, (prev, cur, dsq))
         rms = jnp.sqrt(dsq / denom)
         emit_iteration("minmax_narrowband", metrics_every,
-                       n + refresh_every, rms, band_tiles=jnp.sum(active),
+                       n + m, rms, band_tiles=jnp.sum(active),
                        cells=shape[0] * shape[1] * shape[2])
         done = (rms < tol) | jnp.isnan(rms)
-        return (cur, n + refresh_every, rms, done)
+        return (prev, cur, n + m, rms, done)
 
     def cond(state):
-        _, n, _, done = state
+        _, _, n, _, done = state
         return (~done) & (n < iters)
 
-    init = (phi_pad0, jnp.int32(0), jnp.asarray(jnp.inf, dt),
-            jnp.bool_(False))
-    phi_pad, n, rms, _ = jax.lax.while_loop(cond, body, init)
+    init = (phi_pad0, cur0, jnp.int32(1), rms0,
+            (rms0 < tol) | jnp.isnan(rms0))
+    _, phi_pad, n, rms, _ = jax.lax.while_loop(cond, body, init)
     return MinMaxResult(phi=mp.crop_from_pallas(phi_pad, shape),
                         iterations=n, final_rms=rms,
                         diverged=jnp.isnan(rms))
