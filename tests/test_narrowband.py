@@ -228,3 +228,68 @@ def test_banded_scan_grad_far_field_identity_and_near_dense():
     g_d = np.asarray(jax.grad(loss_d)(phi))
     band = np.abs(np.asarray(phi)) < 4.1 * dx
     np.testing.assert_allclose(g_b[band], g_d[band], atol=2e-4, rtol=1e-3)
+
+
+def test_minmax_skip_kernel_carry_alias_step():
+    """Zero-copy skip mode: a step with a donated carry buffer equals the
+    dense step, given a carry that holds every frozen tile's values (the
+    ping-pong invariant minmax_flow_narrowband maintains).  Inactive
+    tiles' owned cells must come from the CARRY (they start no DMA at
+    all), active tiles from the stencil update."""
+    from levelsetfortran_tpu.ops import minmax_pallas as mp
+    from levelsetfortran_tpu.ops.weno_pallas import tile_activity
+    shape = (32, 32, 32)
+    xs = np.linspace(-1, 1, 32)
+    gx, gy, gz = np.meshgrid(xs, xs, xs, indexing="ij")
+    phi0 = jnp.asarray((np.sqrt((gx + 0.6) ** 2 + (gy + 0.6) ** 2
+                                + gz ** 2) - 0.2).astype(np.float32))
+    dx = 2.0 / 31
+    h1 = 0.01 * dx * dx
+    tile = (8, 16)
+    pad = mp.pad_for_pallas(phi0, tile)
+    args = (jnp.float32(dx), jnp.float32(h1), jnp.float32(4.1),
+            jnp.float32(0.0))
+    kw = dict(gshape=shape, tile=tile, interpret=True)
+    active = tile_activity(pad, shape, tile, dx, 4.1, margin_cells=1.0)
+    assert 0 < int(jnp.sum(active)) < active.size   # mask actually skips
+    dense = mp.minmax_step_padded(pad, *args, **kw)
+    # a valid carry: frozen-tile owned cells equal pad's (out-of-band
+    # cells never change, so any prior iterate qualifies); poison the
+    # ACTIVE tiles' owned cells to prove they are fully rewritten
+    tx, ty = tile
+    poison = np.asarray(pad).copy()
+    act_np = np.asarray(active)
+    for bi in range(act_np.shape[0]):
+        for bj in range(act_np.shape[1]):
+            if act_np[bi, bj]:
+                poison[4 + bi * tx:4 + (bi + 1) * tx,
+                       8 + bj * ty:8 + (bj + 1) * ty, :] = np.nan
+    skip, dsq = mp.minmax_step_padded(pad, *args, active=active,
+                                      carry=jnp.asarray(poison),
+                                      with_rms=True, **kw)
+    own = np.s_[4:4 + 32, 8:8 + 32, :32]
+    np.testing.assert_array_equal(np.asarray(skip[own]),
+                                  np.asarray(dense[own]))
+    d = np.asarray(skip[own]) - np.asarray(phi0)
+    np.testing.assert_allclose(float(dsq), float((d * d).sum()), rtol=1e-5)
+
+
+def test_minmax_narrowband_odd_refresh_and_tail():
+    """Odd refresh interval and a non-aligned iteration count exercise
+    the even-chunk rounding and the odd-tail passthrough step; the
+    banded solve must still match dense bitwise with exact iteration
+    accounting."""
+    from levelsetfortran_tpu.solvers.minmax_flow import (
+        minmax_flow, minmax_flow_narrowband)
+    shape = (32, 32, 32)
+    phi0 = _sphere(shape, r=0.45)
+    dx = 2.0 / 31
+    h1 = 0.01 * dx * dx
+    for iters in (1, 2, 7):
+        dense = minmax_flow(phi0, dx, h1, iters, 0.0, use_pallas=True)
+        banded = minmax_flow_narrowband(phi0, dx, h1, iters, 0.0,
+                                        refresh_every=3, use_pallas=True,
+                                        axis_order=(0, 1, 2))
+        assert int(banded.iterations) == iters
+        np.testing.assert_array_equal(np.asarray(banded.phi),
+                                      np.asarray(dense.phi))

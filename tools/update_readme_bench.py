@@ -54,9 +54,9 @@ def render(d: dict) -> str:
             _g(d, "narrowband_speedup_256", scale=1.0),
             _g(d, "narrowband_speedup_flat_768x128x128", scale=1.0)),
         "  | narrow-band min/max speedup, 256³ sphere / flat | {}× / {}× "
-        "(memory-bound radius-1 kernel: per-tile overhead bounds the "
-        "gain; banding is bitwise-exact, see "
-        "solvers.minmax_flow.minmax_flow_narrowband) |".format(
+        "(zero-copy tile skipping: inactive tiles move no bytes via a "
+        "ping-pong carry alias; bitwise-exact, ceiling = active-column "
+        "fraction, see solvers.minmax_flow.minmax_flow_narrowband) |".format(
             _g(d, "minmax_nb_256_speedup", scale=1.0),
             _g(d, "minmax_nb_flat_speedup", scale=1.0)),
         "  | end-to-end gradient (sqrt-N checkpointed), 200-step 256³ / "
