@@ -532,15 +532,16 @@ def bench_narrowband(n):
     def make_nb(steps):
         @jax.jit
         def run(p):
-            # refresh_every=5 aligns the chunked iteration count with the
-            # two-point step counts (SMALL_STEPS=5, BIG_STEPS=25)
+            # refresh_every=9 -> chunk length 9 (1 passthrough + 4 pairs);
+            # the two-point counts below are whole chunks so the measured
+            # slope is exactly per-step
             r = reinit_narrowband(p, dx, h, steps, 0.0, band_radius=8.1,
-                                  refresh_every=5)
+                                  refresh_every=9)
             return jnp.sum(r.phi)
         return run
 
     t_dense = per_step_time(make_dense, phi0)
-    t_nb = per_step_time(make_nb, phi0)
+    t_nb = per_step_time(make_nb, phi0, small=9, big=45)
     return t_dense / t_nb, n ** 3 / t_nb
 
 

@@ -307,9 +307,16 @@ def build_init_culling(grid: Grid3D, vertices, elements, *, block: int = 16,
     # this form runs in well under a second.  float32 roundoff is absorbed
     # by inflating the keep slack with an absolute +1e-3*(R_b + margin)
     # term — slack only ever ADDS candidates, so the set stays exact (a
-    # superset of the provable one).
-    cen32 = np.ascontiguousarray(centers, np.float32)
-    tc32 = np.ascontiguousarray(cent.T, np.float32)
+    # superset of the provable one).  Both point sets are re-centered about
+    # a common origin (exactly, in f64) before the float32 cast: the
+    # quadratic form loses ~eps32*|coord|^2 absolute accuracy, which for a
+    # mesh at coordinate offset ~1e4 would exceed the fixed slack and could
+    # drop the true nearest triangle; distances are translation-invariant,
+    # so the shift is free and restores near-origin roundoff regardless of
+    # where the mesh lives (ADVICE r4).
+    shift = centers.mean(axis=0)
+    cen32 = np.ascontiguousarray(centers - shift, np.float32)
+    tc32 = np.ascontiguousarray((cent - shift).T, np.float32)
     c_sq = (cen32 ** 2).sum(-1)                  # (B,)
     t_sq = (tc32 ** 2).sum(0)                    # (E,)
     r32 = r_t.astype(np.float32)

@@ -434,15 +434,23 @@ def _sanitize_windows(win, swin, gx0, gy0, *, gshape, rim):
     return jnp.where(valid, win, 0.0), jnp.where(svalid, swin, 0.0)
 
 
-def _tile_masks(gx0, gy0, *, gshape, tile, rim, nzp):
+def _tile_masks(gx0, gy0, *, gshape, tile, rim, nzp, zrange=None):
     """(gx, gy, gz, deep, interior) in global true-grid coordinates for the
-    extended region (kept minimal-rank; comparisons broadcast late)."""
+    extended region (kept minimal-rank; comparisons broadcast late).
+
+    ``zrange=(a, b)`` restricts the compute region to padded-z lanes
+    [a, b) — the within-column z-chunk mode (narrow-band compute skipping
+    at lane-axis granularity; see _make_kernel's ``szc``)."""
     nx, ny, nz = gshape
     tx, ty = tile
     ex, ey = tx + 2 * rim, ty + 2 * rim
     gx = gx0 + jax.lax.broadcasted_iota(jnp.int32, (ex, 1, 1), 0)
     gy = gy0 + jax.lax.broadcasted_iota(jnp.int32, (1, ey, 1), 1)
-    gz = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nzp), 2)
+    if zrange is None:
+        gz = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nzp), 2)
+    else:
+        gz = zrange[0] + jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, zrange[1] - zrange[0]), 2)
 
     def in_range(g, n, depth):
         return (g >= depth) & (g <= n - 1 - depth)
@@ -463,30 +471,69 @@ def _scaled_eps_floor(dx, eps_floor, f32):
     return jnp.maximum(eps_floor * (dx * dx), 1e-18 if f32 else 1e-99)
 
 
+def _zslice(v, a, b, off):
+    """Lanes [a+off, b+off) of a full-column slab, wrap-composed at the
+    column ends — exactly the lanes the dense kernel's circular roll
+    reads there, so chunked compute stays bit-identical to dense (the
+    wrapped lanes only ever feed select-discarded positions anyway).
+    For vreg-width chunks (b - a a multiple of 128, the only sizes
+    _pick_szc emits) every result keeps full lane utilization."""
+    nzp = v.shape[2]
+    a, b = a + off, b + off
+    if a >= 0 and b <= nzp:
+        return v[:, :, a:b]
+    if a < 0:
+        return jnp.concatenate([v[:, :, nzp + a:], v[:, :, :b]], axis=2)
+    return jnp.concatenate([v[:, :, a:], v[:, :, :b - nzp]], axis=2)
+
+
 def _tile_axis_gsq(win, dx, pos, deep, axis, *, tile, rim, eps_scale,
-                   eps_floor, quirk_y_p5_zero, ratio_floor, recip, roll):
+                   eps_floor, quirk_y_p5_zero, ratio_floor, recip, roll,
+                   zchunk=None):
     """One axis's squared Godunov-selected WENO derivative on the extended
     region — the expensive part of the step, factored out so the backward
     kernel can differentiate the three axes ONE AT A TIME (manual
     rematerialization: jax.checkpoint's remat2 primitive has no Pallas
     lowering, so the adjoint chains per-axis jax.vjp calls instead,
-    bounding the live temporaries to a single axis's WENO internals)."""
+    bounding the live temporaries to a single axis's WENO internals).
+
+    ``zchunk=(a, b)``: compute only padded-z lanes [a, b) of the column
+    (narrow-band z-chunk mode).  Slicing order matters for cost: z is
+    narrowed FIRST (x-narrowing is free — the major dim has no tiled
+    layout — and an aligned z view costs nothing), so every materialized
+    value is O(chunk), full-lane, and the algebra below runs unchanged."""
     tx, ty = tile
     ex, ey = tx + 2 * rim, ty + 2 * rim
     f32 = win.dtype != jnp.float64
     eps_floor_s = _scaled_eps_floor(dx, eps_floor, f32)
 
-    def pval(xoff, yoff):
-        return win[XA - rim + xoff:XA - rim + xoff + ex,
-                   YA - rim + yoff:YA - rim + yoff + ey, :]
+    if zchunk is None:
+        def pval(xoff, yoff):
+            return win[XA - rim + xoff:XA - rim + xoff + ex,
+                       YA - rim + yoff:YA - rim + yoff + ey, :]
+        c = pval(0, 0)
+    else:
+        a, b = zchunk
+        wz = _zslice(win, a, b, 0)
 
-    c = pval(0, 0)
+        def pval(xoff, yoff):
+            return wz[XA - rim + xoff:XA - rim + xoff + ex,
+                      YA - rim + yoff:YA - rim + yoff + ey, :]
+        c = pval(0, 0)
     if axis == 0:
         def val(off):
             return pval(off, 0)
     elif axis == 1:
         def val(off):
             return pval(0, off)
+    elif zchunk is not None:
+        # x-narrow first (free), then the shifted z window, then y
+        cx = win[XA - rim:XA - rim + ex, :, :]
+
+        def val(off):
+            if not off:
+                return c
+            return _zslice(cx, a, b, off)[:, YA - rim:YA - rim + ey, :]
     else:
         def val(off):
             # circular in z: wrapped lanes feed masked branches only
@@ -650,17 +697,29 @@ def _axis_gsq_bwd(win, dx, pos, deep, axis, cot_gsq, acc_ref, *, tile, rim,
 
 
 def _tile_tail(win, swin, dx, h, grad_sq_sum, gx, gy, gz, interior, *,
-               gshape, tile, rim, roll, guard_ad):
+               gshape, tile, rim, roll, guard_ad, zchunk=None):
     """Cheap tail of the step: |grad| from the summed squared derivatives,
-    smeared sign, Euler update, ghost BC, crop to the owned tile."""
+    smeared sign, Euler update, ghost BC, crop to the owned tile.
+
+    In z-chunk mode (``zchunk``) the BC clamp's z rolls act on the chunk:
+    the clamp selects a rolled value only at gz==0 (always lane 0 of chunk
+    0, whose +1 neighbor is in-chunk) and gz==nz-1 (in-chunk -1 neighbor
+    as long as nz % szc != 1 — enforced by the szc choice), so wrapped
+    chunk-edge lanes are never selected."""
     nx, ny, nz = gshape
     tx, ty = tile
     ex, ey = tx + 2 * rim, ty + 2 * rim
     f32 = win.dtype != jnp.float64
     inv_dx2 = 1.0 / (dx * dx)
 
-    c = win[XA - rim:XA - rim + ex, YA - rim:YA - rim + ey, :]
-    sgn_src = swin[:, YA - rim:YA - rim + ey, :]
+    if zchunk is None:
+        c = win[XA - rim:XA - rim + ex, YA - rim:YA - rim + ey, :]
+        sgn_src = swin[:, YA - rim:YA - rim + ey, :]
+    else:
+        a, b = zchunk
+        c = _zslice(win[XA - rim:XA - rim + ex, :, :],
+                    a, b, 0)[:, YA - rim:YA - rim + ey, :]
+        sgn_src = _zslice(swin, a, b, 0)[:, YA - rim:YA - rim + ey, :]
 
     if guard_ad:
         # double-where: value identical (sqrt(0)=0), cotangent finite
@@ -698,7 +757,7 @@ def _tile_tail(win, swin, dx, h, grad_sq_sum, gx, gy, gz, interior, *,
 
 def _tile_step_values(win, swin, dx, h, gx0, gy0, *, gshape, tile, rim,
                       eps_scale, eps_floor, quirk_y_p5_zero, ratio_floor,
-                      recip, roll, guard_ad=False):
+                      recip, roll, guard_ad=False, zchunk=None):
     """Owned-tile output of one reinit step, as a PURE function of window
     VALUES — the single source of truth for the step's math, called by the
     forward kernel on loaded slabs and differentiated piecewise inside the
@@ -714,26 +773,34 @@ def _tile_step_values(win, swin, dx, h, gx0, gy0, *, gshape, tile, rim,
     the double-where sqrt guard in the tail.
     """
     if guard_ad:
+        assert zchunk is None, "z-chunk mode is forward-only"
         win, swin = _sanitize_windows(win, swin, gx0, gy0, gshape=gshape,
                                       rim=rim)
     gx, gy, gz, deep, interior = _tile_masks(
-        gx0, gy0, gshape=gshape, tile=tile, rim=rim, nzp=win.shape[2])
-    pos = swin[:, YA - rim:YA - rim + tile[1] + 2 * rim, :] > 0.0
+        gx0, gy0, gshape=gshape, tile=tile, rim=rim, nzp=win.shape[2],
+        zrange=zchunk)
+    if zchunk is None:
+        pos = swin[:, YA - rim:YA - rim + tile[1] + 2 * rim, :]
+    else:
+        pos = _zslice(swin, zchunk[0], zchunk[1],
+                      0)[:, YA - rim:YA - rim + tile[1] + 2 * rim, :]
+    pos = pos > 0.0
     akw = dict(tile=tile, rim=rim, eps_scale=eps_scale, eps_floor=eps_floor,
                quirk_y_p5_zero=quirk_y_p5_zero, ratio_floor=ratio_floor,
-               recip=recip, roll=roll)
+               recip=recip, roll=roll, zchunk=zchunk)
     grad_sq_sum = _tile_axis_gsq(win, dx, pos, deep, 0, **akw)
     for axis in (1, 2):
         grad_sq_sum = grad_sq_sum + _tile_axis_gsq(win, dx, pos, deep, axis,
                                                    **akw)
     return _tile_tail(win, swin, dx, h, grad_sq_sum, gx, gy, gz, interior,
                       gshape=gshape, tile=tile, rim=rim, roll=roll,
-                      guard_ad=guard_ad)
+                      guard_ad=guard_ad, zchunk=zchunk)
 
 
 def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
                  ratio_floor, precise=True, ring=True, banded=False,
-                 with_rms=False, tile_origin=(0, 0), aliased=False):
+                 with_rms=False, tile_origin=(0, 0), aliased=False,
+                 szc=None, skip_inactive=False):
     """Padded-in / padded-out kernel.  Both phi and out use the
     (nxp + 2*XA, nyp + 2*YA, nzp) layout; out aprons are left unwritten.
     ``nzp`` is the lane-aligned z extent; masks use the TRUE ``gshape``.
@@ -757,6 +824,25 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
     set3d.f90:402,420).  Activity is scalar-read from SMEM at DMA-issue
     time, so the double-buffered pipeline is preserved.
 
+    ``szc`` (requires ``banded``) refines skipping BELOW column
+    granularity: the mask becomes a per-column int32 BITMASK of
+    ``nzp // szc`` z-chunks, and the compute runs per ACTIVE chunk on
+    static lane slices of the loaded column window (inactive chunks are
+    VPU passthrough copies).  DMA stays column-granular (Mosaic requires
+    lane-dim HBM slices aligned to 128, so thin z windows cannot be
+    DMA'd) — the win is in COMPUTE, which is what bounds this kernel:
+    on a centered-sphere band at 256^3 the active-cell ceiling drops
+    from ~0.47 (column) to ~0.26 (8, 16, 32)-boxes.  Chunks must tile
+    the padded column (nzp % szc == 0) with nz % szc != 1 (BC clamp
+    sources stay in-chunk) and nzp // szc <= 31 (bitmask width).
+
+    ``skip_inactive`` (requires ``banded``): ZERO-COPY skipping — the
+    output aliases a donated carry input that already holds every
+    inactive tile's owned values (the ping-pong double buffer of
+    ``_reinit_narrowband_core``), so an inactive tile starts no DMA,
+    waits no semaphore, and computes nothing, instead of the passthrough
+    copy that still moves its owned cells twice.
+
     ``tile_origin`` (static (tox, toy)) offsets every tile index: the call
     then computes a SUB-RECTANGLE of the padded array's tile grid —
     exchange/compute overlap splits one step into an interior-rectangle
@@ -769,6 +855,7 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
     rim = 1 if ring else 0
     ex, ey = tx + 2 * rim, ty + 2 * rim
     wx, wy = tx + 2 * XA, ty + 2 * YA
+    assert not (skip_inactive and aliased)
 
     def kernel(dx_ref, h_ref, ox_ref, oy_ref, *rest):
         if with_rms:
@@ -785,6 +872,9 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
         if aliased:
             # sub-range call: an out_init input is aliased to out_hbm; the
             # extra ref is the same buffer and is never read directly
+            rest = rest[:2] + rest[3:]
+        if skip_inactive:
+            # carry input: same memory as out_hbm, never read directly
             rest = rest[:2] + rest[3:]
         if with_rms:
             (phi_hbm, sign_hbm, out_hbm, rms_ref,
@@ -841,9 +931,10 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
                 p.start()
                 s.start()
 
-            @pl.when(~act)
-            def _():
-                in_dma_small(slot, block_lin).start()
+            if not skip_inactive:
+                @pl.when(~act)
+                def _():
+                    in_dma_small(slot, block_lin).start()
 
         def wait_loads(slot, block_lin):
             if not banded:
@@ -859,9 +950,10 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
                 p.wait()
                 s.wait()
 
-            @pl.when(~act)
-            def _():
-                in_dma_small(slot, block_lin).wait()
+            if not skip_inactive:
+                @pl.when(~act)
+                def _():
+                    in_dma_small(slot, block_lin).wait()
 
         def out_dma(slot, block_lin):
             wi = tox + block_lin // nby
@@ -899,6 +991,120 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
                 quirk_y_p5_zero=quirk_y_p5_zero, ratio_floor=ratio_floor,
                 recip=recip, roll=_roll)
 
+        def compute_chunk(a, b):
+            return _tile_step_values(
+                pslab[slot], sslab[slot], dx, h,
+                gx0, gy0, gshape=gshape, tile=tile, rim=rim,
+                eps_scale=eps_scale, eps_floor=eps_floor,
+                quirk_y_p5_zero=quirk_y_p5_zero, ratio_floor=ratio_floor,
+                recip=recip, roll=_roll, zchunk=(a, b))
+
+        def ovalid_mask(a, ln):
+            nz_ = gshape[2]
+            ogx = (gx0 + rim
+                   + jax.lax.broadcasted_iota(jnp.int32, (tx, 1, 1), 0))
+            ogy = (gy0 + rim
+                   + jax.lax.broadcasted_iota(jnp.int32, (1, ty, 1), 1))
+            ogz = a + jax.lax.broadcasted_iota(jnp.int32, (1, 1, ln), 2)
+            return ((ogx >= rb_ref[0, 0]) & (ogx < rb_ref[0, 1])
+                    & (ogy >= rb_ref[0, 2]) & (ogy < rb_ref[0, 3])
+                    & (ogz < nz_))
+
+        def wait_out(j):
+            # semaphore hygiene under zero-copy skipping: wait exactly the
+            # DMAs that were started — tile j started its out iff active
+            if skip_inactive:
+                @pl.when(block_active(j))
+                def _():
+                    out_dma(j % 2, j).wait()
+            else:
+                out_dma(j % 2, j).wait()
+
+        def drain():
+            @pl.when(lin == n_blocks - 1)
+            def _():
+                @pl.when(n_blocks >= 2)
+                def _():
+                    wait_out(lin - 1)
+                wait_out(lin)
+
+        if with_rms:
+            @pl.when(lin == 0)
+            def _():
+                racc[0] = jnp.zeros((), pslab.dtype)
+
+        if banded and szc is not None:
+            # within-column z-chunk compute skipping: the column window is
+            # already loaded (DMA is column-granular); each of the nzg
+            # z-chunks runs the step on static lane slices only when its
+            # activity bit is set, otherwise VPU-copies its owned lanes.
+            nzg = nzp // szc
+            bits = active_ref[tox + bi, toy + bj]
+
+            @pl.when(lin >= 2)
+            def _():
+                wait_out(lin - 2)
+
+            def do_column():
+                for g in range(nzg):
+                    a, b = g * szc, (g + 1) * szc
+                    act_g = (jax.lax.shift_right_logical(
+                        bits, jnp.int32(g)) & 1) > 0
+
+                    @pl.when(act_g)
+                    def _(a=a, b=b):
+                        res = compute_chunk(a, b)
+                        if with_rms:
+                            d = jnp.where(
+                                ovalid_mask(a, szc),
+                                res - pslab[slot, XA:XA + tx,
+                                            YA:YA + ty, a:b],
+                                0.0)
+                            racc[0] += jnp.sum(d * d)
+                        oslab[slot, :, :, a:b] = res
+
+                    @pl.when(~act_g)
+                    def _(a=a, b=b):
+                        oslab[slot, :, :, a:b] = \
+                            pslab[slot, XA:XA + tx, YA:YA + ty, a:b]
+
+                out_dma(slot, lin).start()
+
+            if skip_inactive:
+                @pl.when(bits > 0)
+                def _():
+                    do_column()
+            else:
+                do_column()
+
+            if with_rms:
+                rms_ref[0, 0] = racc[0]
+            drain()
+            return
+
+        if banded and skip_inactive:
+            # zero-copy skip: inactive tile's owned values already live in
+            # the aliased carry buffer — no compute, no slab write, no DMA
+            @pl.when(lin >= 2)
+            def _():
+                wait_out(lin - 2)
+
+            @pl.when(block_active(lin))
+            def _():
+                res = compute()
+                if with_rms:
+                    d = jnp.where(
+                        ovalid_mask(0, nzp),
+                        res - pslab[slot, XA:XA + tx, YA:YA + ty, :], 0.0)
+                    racc[0] += jnp.sum(d * d)
+                oslab[slot] = res
+                out_dma(slot, lin).start()
+
+            if with_rms:
+                rms_ref[0, 0] = racc[0]
+            drain()
+            return
+
         if banded:
             # inactive tile: owned cells unchanged this step (narrow band)
             out_tile = jax.lax.cond(
@@ -908,25 +1114,10 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
             out_tile = compute()
 
         if with_rms:
-            nz_ = gshape[2]
-            ogx = (gx0 + rim
-                   + jax.lax.broadcasted_iota(jnp.int32, (tx, 1, 1), 0))
-            ogy = (gy0 + rim
-                   + jax.lax.broadcasted_iota(jnp.int32, (1, ty, 1), 1))
-            ogz = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nzp), 2)
-            ovalid = ((ogx >= rb_ref[0, 0]) & (ogx < rb_ref[0, 1])
-                      & (ogy >= rb_ref[0, 2]) & (ogy < rb_ref[0, 3])
-                      & (ogz < nz_))
-            d = jnp.where(ovalid,
+            d = jnp.where(ovalid_mask(0, nzp),
                           out_tile - pslab[slot, XA:XA + tx, YA:YA + ty, :],
                           0.0)
-            dsq = jnp.sum(d * d)
-
-            @pl.when(lin == 0)
-            def _():
-                racc[0] = jnp.zeros((), out_tile.dtype)
-
-            racc[0] += dsq
+            racc[0] += jnp.sum(d * d)
             rms_ref[0, 0] = racc[0]
 
         # write-back: wait for this slot's previous write, then start ours;
@@ -937,13 +1128,7 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
 
         oslab[slot] = out_tile
         out_dma(slot, lin).start()
-
-        @pl.when(lin == n_blocks - 1)
-        def _():
-            @pl.when(n_blocks >= 2)
-            def _():
-                out_dma((lin - 1) % 2, lin - 1).wait()
-            out_dma(slot, lin).wait()
+        drain()
 
     return kernel, (wx, wy), ex
 
@@ -1072,7 +1257,7 @@ def pad_zero_for_pallas(g, tile):
 
 
 def tile_activity(phi_pad, gshape, tile, dx, radius_cells, margin_cells=0.0,
-                  offsets=(0, 0)):
+                  offsets=(0, 0), szc=None, window="stencil"):
     """(nbx, nby) int32 narrow-band activity mask from a padded iterate.
 
     A tile is active when the min |phi| over its EXACT kernel read window
@@ -1090,10 +1275,26 @@ def tile_activity(phi_pad, gshape, tile, dx, radius_cells, margin_cells=0.0,
     just across the shard boundary is correctly kept active.  ``offsets``
     (ox, oy) is the padded array's global origin (shard offset minus the
     extra-compute extension; (0, 0) single-device).
+
+    ``szc`` (static): z-chunk mode — the result is instead an int32
+    BITMASK per column, bit g set when the (tx, ty, szc) box at z-chunk g
+    contains a band cell.  ``mask != 0`` still means "column active", so
+    the kernel's column-granular DMA skipping reads the same test.
+
+    ``window="owned"`` tightens the criterion to the tile's OWNED cells
+    only — exact for the freeze semantic (a cell updates iff ITS OWN
+    value is in band, so a tile with no in-band owned cell computes
+    nothing), and measurably tighter on compact bodies (sphere 256^3:
+    0.37 vs 0.48 active at (8, 16)).  The default "stencil" criterion
+    additionally keeps tiles whose read window touches the band — kept
+    for halo-deep sharding, where tiles beyond the owned range compute
+    widened cells.
     """
     nx, ny, nz = gshape
     tx, ty = tile
     nzp = phi_pad.shape[2]
+    nbx = (phi_pad.shape[0] - 2 * XA) // tx
+    nby = (phi_pad.shape[1] - 2 * YA) // ty
     a = jnp.abs(phi_pad)
     big = jnp.asarray(jnp.inf, a.dtype)
     ox, oy = offsets
@@ -1104,16 +1305,120 @@ def tile_activity(phi_pad, gshape, tile, dx, radius_cells, margin_cells=0.0,
         & ((gy >= 0) & (gy < ny))[None, :, None] \
         & (gz < nz)[None, None, :]
     a = jnp.where(valid, a, big)
-    m = jax.lax.reduce_window(
-        a, big, jax.lax.min,
-        window_dimensions=(tx + 2 * XA, ty + 2 * YA, nzp),
-        window_strides=(tx, ty, nzp),
-        padding="VALID")[..., 0]
     thresh = (radius_cells + margin_cells) * dx
-    return (m < thresh).astype(jnp.int32)
+
+    def bitpack(act3):
+        nzg = act3.shape[2]
+        bits = act3.astype(jnp.int32) << jnp.arange(nzg, dtype=jnp.int32)
+        return jnp.sum(bits, axis=2)
+
+    if window == "owned":
+        # min/max criterion: a tile computes iff one of its OWNED cells is
+        # in band — EXACT there (the update gate is the cell's own value,
+        # so frozen cells never change and never enter the band) — one
+        # non-overlapping reshape-reduce pass (a lax.reduce_window with
+        # overlapping stencil windows measured 23 ms at 256^3; ~0.2 ms)
+        own = a[XA:XA + nbx * tx, YA:YA + nby * ty, :]
+        nzg = 1 if szc is None else nzp // szc
+        m = own.reshape(nbx, tx, nby, ty, nzg, nzp // nzg).min(
+            axis=(1, 3, 5))
+        act = m < thresh
+        return (act[..., 0].astype(jnp.int32) if szc is None
+                else bitpack(act))
+    if window == "band4" and tx % 4 == 0 and ty % 4 == 0:
+        # reinit criterion: owned cells dilated by the stencil depth (4) —
+        # every cell whose value feeds an in-band cell's stencil keeps
+        # computing, so frozen-cell staleness stays >= one full stencil
+        # away from the band (pure owned-min let it creep to the surface:
+        # measured 5.7e-3 vs 3.8e-3 near-surface max error on the
+        # twoCube10 pipeline).  Two-stage: (4, 4, zq) sub-block mins in
+        # one pass, then exact +-4 window combines on the block grid
+        # (XA - 4 == 0 and YA - 4 == 4 are both 4-aligned, so the windows
+        # land exactly — no over-dilation).
+        zq = nzp if szc is None else 4
+        m1 = a.reshape(phi_pad.shape[0] // 4, 4,
+                       phi_pad.shape[1] // 4, 4,
+                       nzp // zq, zq).min(axis=(1, 3, 5))
+        sxb, syb = tx // 4, ty // 4
+        parts = [m1[i:i + sxb * nbx:sxb, 1 + j:1 + j + syb * nby:syb, :]
+                 for i in range(sxb + 2) for j in range(syb + 2)]
+        m2 = functools.reduce(jnp.minimum, parts)
+        if szc is None:
+            return (m2[..., 0] < thresh).astype(jnp.int32)
+        nzg = nzp // szc
+        m3 = m2.reshape(nbx, nby, nzg, szc // 4)
+        mz = m3.min(axis=3)
+        # +-4-lane z dilation = one 4-lane sub-block across chunk edges
+        fill = jnp.full_like(m3[:, :, :1, 0], big)
+        edge_l = jnp.concatenate([fill, m3[:, :, :-1, -1]], axis=2)
+        edge_r = jnp.concatenate([m3[:, :, 1:, 0], fill], axis=2)
+        return bitpack(
+            jnp.minimum(mz, jnp.minimum(edge_l, edge_r)) < thresh)
+    if tx != 8 or ty % 8 != 0:
+        # uncommon tiles (_pick_tile's nx%tx==1 escapes): fall back to the
+        # direct reduce_window; these small grids don't use z chunking
+        assert szc is None
+        m = jax.lax.reduce_window(
+            a, big, jax.lax.min,
+            window_dimensions=(tx + 2 * XA, ty + 2 * YA, nzp),
+            window_strides=(tx, ty, nzp), padding="VALID")[..., 0]
+        return (m < thresh).astype(jnp.int32)
+    # stencil-window criterion (kept for halo-deep sharding, where pad
+    # cells beyond the owned range are computed too), evaluated in two
+    # stages: non-overlapping (8, 8, zb) sub-block mins in ONE pass, then
+    # a few shifted-slice mins on the tiny block grid.
+    zb = 8
+    m1 = a.reshape(phi_pad.shape[0] // 8, 8,
+                   phi_pad.shape[1] // 8, 8,
+                   nzp // zb, zb).min(axis=(1, 3, 5))
+    wxb = (tx + 2 * XA) // 8          # tile window extents in sub-blocks
+    wyb = (ty + 2 * YA) // 8
+    sxb, syb = tx // 8, ty // 8       # tile strides in sub-blocks
+    parts = [m1[i:i + sxb * nbx:sxb, j:j + syb * nby:syb, :]
+             for i in range(wxb) for j in range(wyb)]
+    m2 = functools.reduce(jnp.minimum, parts)      # (nbx, nby, nzb)
+    if szc is None:
+        m = m2.min(axis=2)
+        return (m < thresh).astype(jnp.int32)
+    # z window = chunk ±4 lanes, over-approximated to ±1 sub-block
+    nzg = nzp // szc
+    spb = szc // zb
+    mz = m2.reshape(nbx, nby, nzg, spb).min(axis=3)
+    mzl = jnp.concatenate([jnp.full_like(mz[:, :, :1], big),
+                           mz[:, :, :-1]], axis=2)
+    mzr = jnp.concatenate([mz[:, :, 1:],
+                           jnp.full_like(mz[:, :, :1], big)], axis=2)
+    act = jnp.minimum(mz, jnp.minimum(mzl, mzr)) < thresh
+    return bitpack(act)
 
 
 # ----------------------------- backward kernel -----------------------------
+
+def _pick_szc(gshape, nzp):
+    """Z-chunk size for within-column narrow-band compute skipping
+    (None = column-granular only).
+
+    szc is kept at FULL VREG WIDTH (128 lanes) or a multiple: vector
+    registers are (8, 128), so compute on a sub-128-lane chunk runs at
+    szc/128 lane utilization and its output stores straddle vregs —
+    measured at 256^3/szc=32: 4.4 ms/step vs 0.72 column-banded, i.e.
+    the ~4x lane waste fully cancels the 0.28-vs-0.48 occupancy win.
+    At szc=128 the chunks are free (aligned loads/stores, full lanes),
+    so any nzp >= 256 gets them; the z granularity this buys matters
+    most for 512^3+ columns.  Constraints: chunks tile the padded
+    column, BC clamp sources stay in-chunk (nz % szc != 1), and the
+    per-column bitmask fits int32 (nzp // szc <= 31)."""
+    nz = gshape[2]
+    if nzp < 512:
+        # 256-lane columns split into only 2 vreg-width chunks, and the
+        # measured per-chunk structure overhead (~2.3x a column step at
+        # 256^3) exceeds the occupancy win; column granularity wins there
+        return None
+    for szc in (128, 256):
+        if (nzp % szc == 0 and 4 <= nzp // szc <= 31 and nz % szc != 1):
+            return szc
+    return None
+
 
 def _pick_bwd_tile(pad_shape, tile):
     """Backward-kernel tile: must divide the compute extents of the padded
@@ -1546,12 +1851,13 @@ def _pallas_bwd_padded(phi_pad, sign_pad, g_pad, dx, h, *, gshape, eps_scale,
 
 @functools.partial(jax.jit, static_argnames=(
     "gshape", "eps_scale", "eps_floor", "quirk_y_p5_zero", "tile",
-    "interpret", "precise", "with_rms", "tile_range"))
+    "interpret", "precise", "with_rms", "tile_range", "szc"),
+    donate_argnames=("carry",))
 def _pallas_step_padded(phi_pad, sign_pad, dx, h, *, gshape, eps_scale,
                         eps_floor, quirk_y_p5_zero, tile, interpret,
                         precise=True, offsets=None, active=None,
                         with_rms=False, rms_bounds=None, tile_range=None,
-                        out_init=None):
+                        out_init=None, szc=None, carry=None):
     """One step on padded-layout arrays; output aprons are undefined.
 
     ``gshape`` is the TRUE GLOBAL grid shape (mask bounds).  ``offsets``
@@ -1561,7 +1867,10 @@ def _pallas_step_padded(phi_pad, sign_pad, dx, h, *, gshape, eps_scale,
 
     ``active`` (optional, (nbx, nby) int32) enables narrow-band execution:
     tiles with ``active == 0`` skip the step and keep their owned cells
-    unchanged (see :func:`tile_activity`).
+    unchanged (see :func:`tile_activity`).  With ``szc`` (static), the
+    mask is instead a per-column z-chunk BITMASK (:func:`tile_activity`
+    with ``szc``) and compute is additionally skipped per
+    ``(tx, ty, szc)`` box within active columns (see _make_kernel).
 
     ``with_rms=True`` returns ``(out, dsq)`` where ``dsq`` is the scalar
     sum of squared owned-cell changes, accumulated INSIDE the kernel —
@@ -1591,11 +1900,16 @@ def _pallas_step_padded(phi_pad, sign_pad, dx, h, *, gshape, eps_scale,
     ratio_floor = 1e-70 if phi_pad.dtype == jnp.float64 else 1e-7
     ring = _needs_ring(gshape, tile)
     banded = active is not None
+    skip = carry is not None
+    assert not skip or banded, "carry requires an activity mask"
+    if szc is not None:
+        assert banded and nzp % szc == 0 and nzp // szc <= 31 \
+            and nz % szc != 1
     kernel, (wx, wy), ex = _make_kernel(
         gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
         ratio_floor, precise=precise or interpret, ring=ring, banded=banded,
         with_rms=with_rms, tile_origin=tile_origin,
-        aliased=out_init is not None)
+        aliased=out_init is not None, szc=szc, skip_inactive=skip)
 
     scalar_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM)
@@ -1633,6 +1947,11 @@ def _pallas_step_padded(phi_pad, sign_pad, dx, h, *, gshape, eps_scale,
         io_aliases = {len(args): 0}
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         args.append(out_init)
+    if skip:
+        assert out_init is None
+        io_aliases = {len(args): 0}   # carry aliases the phi output
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        args.append(carry)
     out_shape = jax.ShapeDtypeStruct(phi_pad.shape, phi_pad.dtype)
     out_specs = pl.BlockSpec(memory_space=pl.ANY)
     scratch = [

@@ -278,42 +278,65 @@ def _reinit_narrowband_core(phi0, dx, h, iters: int, tol, *, band_radius,
     sign_pad = (phi_pad0 if sign_src is None
                 else wp.pad_for_pallas(jnp.asarray(sign_src, phi0.dtype),
                                        tile))
-    margin = refresh_every * ha / dxa
+    pairs = refresh_every // 2
+    chunk = 1 + 2 * pairs
+    # drift margin covers the ACTUAL chunk length (refresh_every rounded
+    # up to odd for the passthrough + double-step structure below)
+    margin = chunk * ha / dxa
+    # within-column z-chunk compute skipping: the column DMA is kept (lane
+    # windows cannot be sliced), but the WENO compute — what bounds this
+    # kernel — runs only on (tx, ty, szc) boxes intersecting the band
+    szc = wp._pick_szc(shape, phi_pad0.shape[2])
+    kw = dict(gshape=shape, eps_scale=eps_scale, eps_floor=eps_floor_r,
+              quirk_y_p5_zero=quirk_y_p5_zero, tile=tile,
+              interpret=interpret, precise=precise, szc=szc)
 
     def refresh(p):
         return wp.tile_activity(p, shape, tile, dxa, band_radius,
-                                margin_cells=margin)
-
-    def step(p, active):
-        return wp._pallas_step_padded(
-            p, sign_pad, dxa, ha, gshape=shape, eps_scale=eps_scale,
-            eps_floor=eps_floor_r, quirk_y_p5_zero=quirk_y_p5_zero,
-            tile=tile, interpret=interpret, precise=precise, active=active)
+                                margin_cells=margin, szc=szc,
+                                window="band4")
 
     denom = (shape[0] - 1) * (shape[1] - 1) * (shape[2] - 1)
+    # chunk structure: ONE passthrough-mode step (fresh output buffer;
+    # frozen columns move as small owned-cell DMAs) re-mints a buffer
+    # consistent with the JUST-REFRESHED mask, then `pairs` double steps
+    # run ZERO-COPY: the output aliases the iterate from two steps ago,
+    # whose frozen-column values are identical because the mask is fixed
+    # within the chunk — frozen columns then move no bytes at all.  The
+    # chunk's LAST step carries the fused RMS reduction, preserving the
+    # dense solver's tail-sampled convergence metric (head sampling lags
+    # a chunk and over-runs the solve — measured +70% iterations and a
+    # 1.5x worse near-surface error on the twoCube10 pipeline).
 
     def body(state):
         p, n, _, _ = state
         active = refresh(p)
+        cur, dsq = wp._pallas_step_padded(p, sign_pad, dxa, ha,
+                                          active=active, with_rms=True,
+                                          **kw)
 
-        def inner(_, cur):
-            return step(cur, active)
+        def double(_, st):
+            pv, cr = st
+            a = wp._pallas_step_padded(cr, sign_pad, dxa, ha,
+                                       active=active, carry=pv, **kw)
+            b = wp._pallas_step_padded(a, sign_pad, dxa, ha,
+                                       active=active, carry=cr, **kw)
+            return (a, b)
 
-        cur = jax.lax.fori_loop(0, refresh_every - 1, inner, p)
-        # final step of the chunk carries the fused in-kernel convergence
-        # reduction — the chunk RMS is exactly the last step's delta
-        cur, dsq = wp._pallas_step_padded(
-            cur, sign_pad, dxa, ha, gshape=shape, eps_scale=eps_scale,
-            eps_floor=eps_floor_r, quirk_y_p5_zero=quirk_y_p5_zero,
-            tile=tile, interpret=interpret, precise=precise, active=active,
-            with_rms=True)
+        if pairs:
+            pv, cr = jax.lax.fori_loop(0, pairs - 1, double, (p, cur))
+            a = wp._pallas_step_padded(cr, sign_pad, dxa, ha,
+                                       active=active, carry=pv, **kw)
+            cur, dsq = wp._pallas_step_padded(a, sign_pad, dxa, ha,
+                                              active=active, carry=cr,
+                                              with_rms=True, **kw)
         rms = jnp.sqrt(dsq / denom)
         emit_iteration("reinit_narrowband", metrics_every,
-                       n + refresh_every, rms,
-                       band_tiles=jnp.sum(active),
+                       n + chunk, rms,
+                       band_tiles=jnp.sum(active != 0),
                        cells=shape[0] * shape[1] * shape[2])
         done = (rms < tol) | jnp.isnan(rms)
-        return (cur, n + refresh_every, rms, done)
+        return (cur, n + chunk, rms, done)
 
     def cond(state):
         _, n, _, done = state

@@ -14,6 +14,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 _WORKER = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
 
 

@@ -8,6 +8,7 @@ Runs in Pallas interpret mode on CPU (conftest forces the cpu backend).
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from levelsetfortran_tpu.ops.weno_pallas import (
     XA, pad_for_pallas, tile_activity)
@@ -153,6 +154,7 @@ def test_minmax_sharded_banded_matches_dense(eight_devices):
                                atol=2e-7, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_banded_scan_all_active_grad_equals_dense():
     """With every tile active, the banded differentiable scan must equal
     the dense fused scan — forward AND gradient (validates the banded
@@ -192,6 +194,7 @@ def test_banded_scan_all_active_grad_equals_dense():
                                atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_banded_scan_grad_far_field_identity_and_near_dense():
     """With genuinely frozen tiles: (a) cotangents at deep-frozen cells
     are EXACTLY the upstream cotangent (identity passthrough adjoint);

@@ -69,6 +69,7 @@ def test_solver_forced_pallas_while_loop():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_scan_gradient_matches_jnp():
     phi = _field((12, 24, 32), seed=4)
     dx, h = 0.05, 0.005
@@ -86,6 +87,7 @@ def test_scan_gradient_matches_jnp():
                                atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_scan_gradient_sqrtn_checkpointing(monkeypatch):
     """The two-level (sqrt-N) checkpointed backward must produce the SAME
     gradient as the flat trajectory stash — forcing the sqrt path by
@@ -115,6 +117,7 @@ def test_scan_gradient_sqrtn_checkpointing(monkeypatch):
                                rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_step_gradient_matches_jnp():
     """Single-step VJP (the _fused_bwd route, distinct from the scan's):
     phi and sign_src cotangents from the Pallas adjoint kernel vs jnp."""
@@ -140,6 +143,7 @@ def test_step_gradient_matches_jnp():
                                atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_scan_gradient_wrt_scalars():
     """dx/h cotangents accumulate across tiles (SMEM scratch) and steps."""
     phi = _field((12, 24, 32), seed=10)
@@ -182,6 +186,7 @@ def test_ring_kernel_variant():
                                atol=5e-6, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_auto_orientation_flat_grid():
     """Flat grids (short last axis) are auto-transposed so the long axis
     sits in lanes (best_axis_order): same result, ~3x less padded volume."""

@@ -129,9 +129,11 @@ class TestOverlapEquivalence:
 
 
 class TestDryrun:
+    @pytest.mark.slow
     def test_dryrun_8(self, eight_devices):
         dryrun(8)
 
+    @pytest.mark.slow
     def test_dryrun_1(self):
         dryrun(1)
 
@@ -378,6 +380,7 @@ def test_sharded_pipeline_no_full_gather(eight_devices, tmp_path):
     assert res.asymptotic_error < 0.5
 
 
+@pytest.mark.slow
 def test_reinit_fixed_sharded_pallas_grad_matches_single(eight_devices):
     """Sharded reverse mode ON THE FUSED KERNELS (VERDICT r3 missing #1):
     forward and gradient of the fixed-step sharded solve (per-shard Pallas

@@ -4,6 +4,7 @@ star: pixels differentiable back to STL vertex positions)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from levelsetfortran_tpu.grid.grid import Grid3D
 from levelsetfortran_tpu.models.analytic import sdf_sphere
@@ -127,6 +128,7 @@ def test_vertex_gradient_finite_difference():
     assert abs(ana - num) < 0.15 * max(1.0, abs(num))
 
 
+@pytest.mark.slow
 def test_sharded_vertex_gradient_matches_single_device(eight_devices):
     """Sharded reverse mode (BASELINE: vertex gradients all-reduced with
     the backward stencil sweep): loss and vertex gradient through the
@@ -153,6 +155,7 @@ def test_sharded_vertex_gradient_matches_single_device(eight_devices):
     np.testing.assert_allclose(g_sh, g_ref, atol=1e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_sharded_vertex_gradient_fused_kernels(eight_devices):
     """BASELINE's mandated path end-to-end: sharded pixel->vertex
     gradients where the backward stencil sweep runs the fused Pallas
