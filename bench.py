@@ -454,7 +454,12 @@ def bench_minmax_nb(n, flat=False):
         return run
 
     t_dense = per_step_time(make_dense, phi0, small=20, big=100)
-    t_nb = per_step_time(make_nb, phi0, small=20, big=100)
+    # banded steps are far below the relay's run-to-run jitter, so the
+    # two-point interval must be much wider to resolve them (the flat
+    # fixture's banded step is ~us-scale: 100-20 steps measured ~0 and
+    # the clamped divide reported a nonsense 1e5 ratio)
+    t_nb = per_step_time(make_nb, phi0, small=20,
+                         big=1020 if flat else 320)
     return t_dense / t_nb
 
 

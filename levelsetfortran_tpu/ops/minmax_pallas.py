@@ -256,6 +256,18 @@ def _pick_tile(gshape):
     return 8, min(ty, 128)
 
 
+def _pick_fusedk_tile(gshape):
+    """Tile for the BANDED fused-K path: measured v5e sweep at 256^3
+    (sphere, owned-column masks, K=4): (16, 32) 112 us/step vs (8, 32)
+    146, (16, 64) 158, (32, 32) 150, (8, 128) 187 — the frac x extension
+    product is flat (~0.55), so the winner is set by per-program
+    amortization against mask tightness."""
+    nx, ny, _ = gshape
+    tx = 16 if nx >= 32 else 8
+    ty = 32 if ny >= 32 else max(8, -(-ny // 8) * 8)
+    return tx, ty
+
+
 @functools.partial(jax.jit, static_argnames=("gshape", "tile", "interpret",
                                              "with_rms"),
                    donate_argnames=("carry",))
@@ -352,6 +364,305 @@ def minmax_step_padded(phi_pad, dx, h1, band_radius, threshold, *, gshape,
 def minmax_pallas_applicable(phi, avg_halfwidth, use_true_curvature) -> bool:
     return (avg_halfwidth == 1 and not use_true_curvature
             and pallas_supported(phi.shape, phi.dtype))
+
+
+# ----------------------------- fused-K kernel ------------------------------
+
+def _make_fusedk_kernel(gshape, tile, nzp, ksteps, with_rms=False,
+                        banded=False, skip_inactive=False):
+    """K Euler steps fused into ONE kernel pass (overlap-compute).
+
+    The single-step kernel is HBM-bound (~15 VPU ops/cell vs 8 B/cell of
+    traffic), so K steps amortize the window+writeback traffic K-fold:
+    the window is widened by ±K in x (y reuses the ±YA apron, z wraps in
+    lanes) and each inner step recomputes a shrinking extension region —
+    cells of neighboring tiles evolve identically here (pure Jacobi), so
+    the K-step trajectory is BITWISE equal to K single-step calls; the
+    extension compute overhead is ((tx+2e)(ty+2e))/(tx*ty) per step.
+    Banding composes at column granularity exactly as in _make_kernel:
+    an out-of-band cell's own-value gate means frozen tiles cannot
+    change over ANY number of fused steps.
+    """
+    nx, ny, nz = gshape
+    tx, ty = tile
+    K = ksteps
+    assert 1 <= K <= XA and K <= YA
+    wx, wy = tx + 2 * K, ty + 2 * YA
+
+    def kernel(dx_ref, h1_ref, br_ref, th_ref, ox_ref, oy_ref, *rest):
+        if banded:
+            active_ref = rest[0]
+            rest = rest[1:]
+        phi_hbm = rest[0]
+        rest = rest[1:]
+        if skip_inactive:
+            rest = rest[1:]          # carry input: same memory as out_hbm
+        out_hbm = rest[0]
+        rest = rest[1:]
+        if with_rms:
+            rms_ref, slab, oslab, in_sems, out_sems, racc = rest
+        else:
+            slab, oslab, in_sems, out_sems = rest
+        bi = pl.program_id(0)
+        bj = pl.program_id(1)
+        nby = pl.num_programs(1)
+        lin = bi * nby + bj
+        n_blocks = pl.num_programs(0) * nby
+
+        def in_dma(slot, block_lin):
+            wi = block_lin // nby
+            wj = block_lin % nby
+            return pltpu.make_async_copy(
+                phi_hbm.at[pl.ds(wi * tx + XA - K, wx),
+                           pl.ds(wj * ty, wy), :],
+                slab.at[slot], in_sems.at[slot])
+
+        def in_dma_small(slot, block_lin):
+            wi = block_lin // nby
+            wj = block_lin % nby
+            return pltpu.make_async_copy(
+                phi_hbm.at[pl.ds(XA + wi * tx, tx),
+                           pl.ds(YA + wj * ty, ty), :],
+                slab.at[slot, pl.ds(K, tx), pl.ds(YA, ty), :],
+                in_sems.at[slot])
+
+        def block_active(block_lin):
+            wi = block_lin // nby
+            wj = block_lin % nby
+            return active_ref[wi, wj] > 0
+
+        def start_load(slot, block_lin):
+            if not banded:
+                in_dma(slot, block_lin).start()
+                return
+            act = block_active(block_lin)
+
+            @pl.when(act)
+            def _():
+                in_dma(slot, block_lin).start()
+
+            if not skip_inactive:
+                @pl.when(~act)
+                def _():
+                    in_dma_small(slot, block_lin).start()
+
+        def wait_load(slot, block_lin):
+            if not banded:
+                in_dma(slot, block_lin).wait()
+                return
+            act = block_active(block_lin)
+
+            @pl.when(act)
+            def _():
+                in_dma(slot, block_lin).wait()
+
+            if not skip_inactive:
+                @pl.when(~act)
+                def _():
+                    in_dma_small(slot, block_lin).wait()
+
+        def out_dma(slot, block_lin):
+            wi = block_lin // nby
+            wj = block_lin % nby
+            return pltpu.make_async_copy(
+                oslab.at[slot],
+                out_hbm.at[pl.ds(XA + wi * tx, tx),
+                           pl.ds(YA + wj * ty, ty), :],
+                out_sems.at[slot])
+
+        @pl.when(lin == 0)
+        def _():
+            start_load(0, 0)
+
+        @pl.when(lin + 1 < n_blocks)
+        def _():
+            start_load((lin + 1) % 2, lin + 1)
+
+        wait_load(lin % 2, lin)
+        slot = lin % 2
+
+        dx = dx_ref[0, 0]
+        h1 = h1_ref[0, 0]
+        band_radius = br_ref[0, 0]
+        threshold = th_ref[0, 0]
+        inv_dx2 = 1.0 / (dx * dx)
+
+        def compute():
+            # inner steps mirror _make_kernel's expression order exactly,
+            # so each fused step is bitwise identical to a dense step.
+            # The interior gate is step-invariant: build it once at the
+            # widest extension and slice per step (the per-step gx/gy/gz
+            # iota compares were ~15% of the VPU budget).
+            exw, eyw = tx + 2 * (K - 1), ty + 2 * (K - 1)
+            gx = (ox_ref[0, 0] + bi * tx - (K - 1)
+                  + jax.lax.broadcasted_iota(jnp.int32, (exw, 1, 1), 0))
+            gy = (oy_ref[0, 0] + bj * ty - (K - 1)
+                  + jax.lax.broadcasted_iota(jnp.int32, (1, eyw, 1), 1))
+            gz = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nzp), 2)
+            interior_w = ((gx >= 1) & (gx <= nx - 2) & (gy >= 1)
+                          & (gy <= ny - 2) & (gz >= 1) & (gz <= nz - 2))
+            cur = slab[slot, :, YA - K:YA + ty + K, :]
+            d = None
+            for k in range(K):
+                e = K - 1 - k
+                exk, eyk = tx + 2 * e, ty + 2 * e
+                c = cur[1:1 + exk, 1:1 + eyk, :]
+                sum6 = (cur[0:exk, 1:1 + eyk, :]
+                        + cur[2:2 + exk, 1:1 + eyk, :]
+                        + cur[1:1 + exk, 0:eyk, :]
+                        + cur[1:1 + exk, 2:2 + eyk, :]
+                        + _roll(c, -1, 2) + _roll(c, 1, 2))
+                lap = (sum6 - 6.0 * c) * inv_dx2
+                pave = (sum6 + c) * (1.0 / 7.0)
+                f = jnp.where(pave < threshold, jnp.minimum(lap, 0.0),
+                              jnp.maximum(lap, 0.0))
+                q = K - 1 - e
+                interior = interior_w[q:q + exk, q:q + eyk, :]
+                nb = jnp.abs(c) < band_radius * dx
+                res = jnp.where(nb & interior, c + h1 * f, c)
+                if k == K - 1 and with_rms:
+                    d = res - c
+                cur = res
+            return cur, d
+
+        def wait_out(j):
+            if skip_inactive:
+                @pl.when(block_active(j))
+                def _():
+                    out_dma(j % 2, j).wait()
+            else:
+                out_dma(j % 2, j).wait()
+
+        if with_rms:
+            @pl.when(lin == 0)
+            def _():
+                racc[0] = jnp.zeros((), slab.dtype)
+
+        @pl.when(lin >= 2)
+        def _():
+            wait_out(lin - 2)
+
+        if skip_inactive:
+            @pl.when(block_active(lin))
+            def _():
+                res, d = compute()
+                if with_rms:
+                    racc[0] += jnp.sum(d * d)
+                oslab[slot] = res
+                out_dma(slot, lin).start()
+        else:
+            if banded:
+                def thru():
+                    return (slab[slot, K:K + tx, YA:YA + ty, :],
+                            jnp.zeros((tx, ty, nzp), slab.dtype)
+                            if with_rms else None)
+                res, d = jax.lax.cond(block_active(lin), compute, thru) \
+                    if with_rms else (jax.lax.cond(
+                        block_active(lin), lambda: compute()[0],
+                        lambda: slab[slot, K:K + tx, YA:YA + ty, :]), None)
+            else:
+                res, d = compute()
+            if with_rms:
+                racc[0] += jnp.sum(d * d)
+            oslab[slot] = res
+            out_dma(slot, lin).start()
+
+        if with_rms:
+            rms_ref[0, 0] = racc[0]
+
+        @pl.when(lin == n_blocks - 1)
+        def _():
+            @pl.when(n_blocks >= 2)
+            def _():
+                wait_out(lin - 1)
+            wait_out(lin)
+
+    return kernel, (wx, wy)
+
+
+@functools.partial(jax.jit, static_argnames=("gshape", "tile", "interpret",
+                                             "with_rms", "ksteps"),
+                   donate_argnames=("carry",))
+def minmax_fusedk_padded(phi_pad, dx, h1, band_radius, threshold, *, gshape,
+                         tile, interpret, ksteps, offsets=None,
+                         with_rms=False, active=None, carry=None):
+    """``ksteps`` fused min/max Euler steps in one kernel launch
+    (bitwise equal to ``ksteps`` calls of :func:`minmax_step_padded`).
+
+    ``with_rms`` returns ``(out, dsq)`` where dsq is the LAST inner
+    step's sum of squared changes (the tail-sampled convergence metric).
+    ``active``/``carry`` as in :func:`minmax_step_padded` (column-granular
+    banding; zero-copy skip via a donated, output-aliased carry)."""
+    nx, ny, nz = gshape
+    tx, ty = tile
+    nxp = phi_pad.shape[0] - 2 * XA
+    nyp = phi_pad.shape[1] - 2 * YA
+    nzp = phi_pad.shape[2]
+    if offsets is None:
+        offsets = (jnp.int32(0), jnp.int32(0))
+    banded = active is not None
+    skip = carry is not None
+    assert not skip or banded, "carry requires an activity mask"
+    kernel, (wx, wy) = _make_fusedk_kernel(
+        gshape, tile, nzp, ksteps, with_rms=with_rms, banded=banded,
+        skip_inactive=skip)
+    scalar = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                          memory_space=pltpu.SMEM)
+    itemsize = phi_pad.dtype.itemsize
+    vmem_limit = min(100 * 1024 * 1024,
+                     (2 * (wx * wy + tx * ty) + 14 * wx * wy)
+                     * nzp * itemsize)
+    dt = phi_pad.dtype
+
+    def s(v):
+        return jnp.reshape(jnp.asarray(v, dt), (1, 1))
+
+    int_scalar = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                              memory_space=pltpu.SMEM)
+    out_shape = jax.ShapeDtypeStruct(phi_pad.shape, dt)
+    out_specs = pl.BlockSpec(memory_space=pl.ANY)
+    scratch = [
+        pltpu.VMEM((2, wx, wy, nzp), dt),
+        pltpu.VMEM((2, tx, ty, nzp), dt),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if with_rms:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((1, 1), dt))
+        out_specs = (out_specs, pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                                             memory_space=pltpu.SMEM))
+        scratch = scratch + [pltpu.SMEM((1,), dt)]
+    in_specs = [scalar, scalar, scalar, scalar, int_scalar, int_scalar]
+    args = [s(dx), s(h1), s(band_radius), s(threshold),
+            jnp.reshape(jnp.asarray(offsets[0], jnp.int32), (1, 1)),
+            jnp.reshape(jnp.asarray(offsets[1], jnp.int32), (1, 1))]
+    if banded:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(jnp.asarray(active, jnp.int32))
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    args.append(phi_pad)
+    aliases = {}
+    if skip:
+        aliases[len(args)] = 0       # carry input aliases the phi output
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        args.append(carry)
+    res = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=(nxp // tx, nyp // ty),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=int(vmem_limit),
+        ),
+        interpret=interpret,
+    )(*args)
+    if with_rms:
+        return res[0], res[1][0, 0]
+    return res
 
 
 # ----------------------------- backward kernel -----------------------------

@@ -157,19 +157,29 @@ def minmax_flow_narrowband(phi0, dx, h1, iters: int, tol, *,
                            refresh_every: int = 16, use_pallas="auto",
                            metrics_every: int = 0,
                            axis_order=None) -> MinMaxResult:
-    """Narrow-band min/max flow: whole kernel tiles outside the active
-    band are skipped (owned-cell passthrough with a small DMA).
+    """Narrow-band min/max flow on the FUSED-K kernel.
 
-    Unlike banded *reinit* (where frozen far-field tiles deliberately skip
-    their relaxation toward exact distance), banded min/max is EXACT: the
-    dense step's update gate is ``|phi_c| < band_radius*dx`` on the cell's
-    OWN value, and a cell in a frozen tile never changes, so it can never
-    enter the band between mask refreshes — the banded solve equals the
-    dense solve bit-for-bit at every iterate, for any ``refresh_every``
-    (the refresh only re-tightens the mask as the band shrinks).  This is
-    the loop the reference only ever runs on the band
-    (``set3d.f90:402,420``); the kernel is memory-bound, so skipped tile
-    DMAs convert near-proportionally into time.
+    Two independent levers compose here, both EXACT (the banded solve
+    equals the dense solve bit-for-bit at every iterate):
+
+    * **K-step fusion** (``minmax_fusedk_padded``): the single-step
+      kernel is HBM-bound, so K=4 steps per launch amortize the window
+      traffic 4x at ~1.3x extension-compute overhead — a win even with
+      every tile active.
+    * **Zero-copy tile skipping**: the update gate is the cell's OWN
+      frozen value, so a cell in an out-of-band tile can never change or
+      enter the band — for ANY step size and ANY refresh interval (no
+      margin precondition: each refresh chunk opens with one
+      passthrough-mode call that re-mints a buffer consistent with the
+      just-refreshed mask, and the following ping-pong pairs alias their
+      outputs to the iterate from two calls ago, so frozen tiles move
+      zero bytes).  The mask (``tile_activity`` with ``window="owned"``)
+      only ever shrinks as the band contracts.
+
+    This is the loop the reference only ever runs on the band
+    (``set3d.f90:402,420``).  Iteration counts are exact: full fused
+    chunks while they fit, then a single-step tail (bitwise-identical
+    inner math) for the remainder.
 
     ``axis_order`` as in :func:`~..solvers.reinit.reinit_narrowband`:
     concrete inputs get the band-aware layout.
@@ -187,31 +197,9 @@ def minmax_flow_narrowband(phi0, dx, h1, iters: int, tol, *,
     elif concrete:
         from ..ops import minmax_pallas as mp
         perm = wp.banded_axis_order(phi0, dx, band_radius, 0.0,
-                                    tile=mp._pick_tile(phi0.shape))
+                                    tile=mp._pick_fusedk_tile(phi0.shape))
     else:
         perm = wp.best_axis_order(phi0.shape)
-    if concrete and axis_order is None:
-        # occupancy guard: with zero-copy tile skipping (ping-pong carry,
-        # inactive tiles move no bytes) banding pays whenever a real
-        # fraction of columns is skippable — measured on v5e: 1.4x at 69%
-        # active tiles (sphere 256³), 2.3x on the flat fixture.  Only
-        # near-full occupancy routes dense; banding stays EXACT either way.
-        from ..ops import minmax_pallas as mp
-        tile = mp._pick_tile(tuple(phi0.shape[q] for q in perm))
-        pp = jnp.transpose(phi0, perm) if perm != (0, 1, 2) else phi0
-        proj = jnp.any(jnp.abs(pp) < band_radius * dx, axis=2)
-        nbx = -(-pp.shape[0] // tile[0])
-        nby = -(-pp.shape[1] // tile[1])
-        pad2 = jnp.pad(proj, ((0, nbx * tile[0] - pp.shape[0]),
-                              (0, nby * tile[1] - pp.shape[1])))
-        occ = float(jnp.mean(jnp.max(
-            pad2.reshape(nbx, tile[0], nby, tile[1]),
-            axis=(1, 3)).astype(jnp.float32)))
-        if occ > 0.85:
-            return minmax_flow(phi0, dx, h1, iters, tol,
-                               band_radius=band_radius,
-                               threshold=threshold, use_pallas=use_pallas,
-                               metrics_every=metrics_every)
     p = phi0 if perm == (0, 1, 2) else jnp.transpose(phi0, perm)
     r = _minmax_narrowband_core(p, dx, h1, iters, tol,
                                 band_radius=band_radius,
@@ -229,7 +217,8 @@ def minmax_flow_narrowband(phi0, dx, h1, iters: int, tol, *,
 def _minmax_narrowband_core(phi0, dx, h1, iters: int, tol, *, band_radius,
                             threshold, refresh_every: int, use_pallas,
                             metrics_every) -> MinMaxResult:
-    """Jitted banded while_loop on an already laid-out grid."""
+    """Jitted banded while_loop on an already laid-out grid (see the
+    public wrapper's docstring for the fused-K + zero-copy structure)."""
     from ..ops import minmax_pallas as mp
     from ..ops import weno_pallas as wp
     shape = phi0.shape
@@ -237,13 +226,10 @@ def _minmax_narrowband_core(phi0, dx, h1, iters: int, tol, *, band_radius,
         return minmax_flow(phi0, dx, h1, iters, tol,
                            band_radius=band_radius, threshold=threshold,
                            use_pallas=False, metrics_every=metrics_every)
-    # the DENSE kernel's tile: at ~15 ops/cell the step is per-tile-
-    # overhead-bound below ~0.3 ms, and a (8, 16) banded tile (as the
-    # reinit core uses) measured 7x SLOWER than dense at 256^3 — 8x the
-    # tile count swamps any skipped traffic.  Sparsity is exploited at
-    # tx=8 granularity along the FIRST axis, which banded_axis_order
-    # rotates onto the band-sparse axis for flat geometry.
-    tile = mp._pick_tile(shape)
+    # fused-K banding affords a much finer tile than the dense kernel:
+    # K-step amortization of the per-program fixed costs makes the mask
+    # tightness win (see _pick_fusedk_tile's measured sweep)
+    tile = mp._pick_fusedk_tile(shape)
     interpret = jax.default_backend() != "tpu"
     dt = phi0.dtype
     phi_pad0 = mp.pad_for_pallas(phi0, tile)
@@ -251,84 +237,78 @@ def _minmax_narrowband_core(phi0, dx, h1, iters: int, tol, *, band_radius,
             jnp.asarray(band_radius, dt), jnp.asarray(threshold, dt))
     denom = (shape[0] - 1) * (shape[1] - 1) * (shape[2] - 1)
     kw = dict(gshape=shape, tile=tile, interpret=interpret)
+    K = 4 if min(shape) >= 16 else 1     # fused depth (<= XA)
+    pairs = max(0, (refresh_every // K) // 2)
+    calls = 1 + 2 * pairs
+    chunk_steps = K * calls
 
     def refresh(p):
-        # margin 1 cell is freeze hysteresis for the ping-pong skip: a
-        # cell that changed at the chunk's last step updated from inside
-        # the band, so |phi| <= band_radius*dx + h1*|F| < (band_radius+1)*dx
-        # (h1 = CFL*dx^2, |lap| <~ 6*L/dx, L the local Lipschitz bound) —
-        # its tile therefore stays active one more chunk, in which BOTH
-        # ping-pong buffers receive its (now unchanging) value before the
-        # tile can freeze.  The margin only ever keeps more tiles active,
-        # so the solve stays exact.
+        # owned-only criterion: EXACT for min/max freezing (no margin —
+        # an out-of-band cell's own-value gate means it never changes),
+        # and the per-chunk passthrough mint below keeps the ping-pong
+        # buffers consistent across refreshes for any h1 (ADVICE r4)
         return wp.tile_activity(p, shape, tile, args[0], band_radius,
-                                margin_cells=1.0)
+                                window="owned")
 
     if iters <= 0:
         return MinMaxResult(phi=phi0, iterations=jnp.int32(0),
                             final_rms=jnp.asarray(jnp.inf, dt),
                             diverged=jnp.bool_(False))
 
-    # ping-pong double buffer: inactive tiles move ZERO bytes because the
-    # output aliases the PREVIOUS iterate, whose frozen-tile values are
-    # identical (out-of-band cells never change).  The first step runs in
-    # passthrough mode to mint a second distinct buffer.
-    active0 = refresh(phi_pad0)
-    cur0, dsq0 = mp.minmax_step_padded(phi_pad0, *args, active=active0,
-                                       with_rms=True, **kw)
-    rms0 = jnp.sqrt(dsq0 / denom)
-
-    # chunks are rounded up to EVEN so the double-step unrolling below
-    # never needs the odd trailing step (and its swap copy) except on the
-    # final partial chunk; refreshing a step later only delays mask
-    # tightening, which is always sound
-    chunk = refresh_every + (refresh_every % 2)
-
     def body(state):
-        prev, cur, n, _, _ = state
-        active = refresh(cur)
-        m = jnp.minimum(jnp.int32(chunk), jnp.int32(iters) - n)
+        p, n, _, _ = state
+        active = refresh(p)
+        # passthrough mint (fresh buffer; frozen tiles small-DMA owned
+        # cells), then ping-pong zero-copy pairs; the chunk's last call
+        # carries the fused RMS (tail-sampled convergence metric)
+        cur, dsq = mp.minmax_fusedk_padded(p, *args, ksteps=K,
+                                           active=active, with_rms=True,
+                                           **kw)
 
-        # DOUBLE steps keep XLA's in-place while-loop carries: step a
-        # writes prev's buffer, step b writes cur's buffer, so each carry
-        # slot updates in place and the swap that would force XLA to copy
-        # a full buffer per step (measured: a zero-work all-frozen "skip"
-        # step costing 1.7x a dense step) never happens.
         def double(_, st):
-            pv, cr, _ = st
-            a = mp.minmax_step_padded(cr, *args, active=active,
-                                      carry=pv, **kw)
-            b, dsq = mp.minmax_step_padded(a, *args, active=active,
-                                           carry=cr, with_rms=True, **kw)
-            return (a, b, dsq)
+            pv, cr = st
+            a = mp.minmax_fusedk_padded(cr, *args, ksteps=K,
+                                        active=active, carry=pv, **kw)
+            b = mp.minmax_fusedk_padded(a, *args, ksteps=K,
+                                        active=active, carry=cr, **kw)
+            return (a, b)
 
-        prev, cur, dsq = jax.lax.fori_loop(
-            0, m // 2, double, (prev, cur, jnp.zeros((), dt)))
-
-        def odd_step(st):
-            # trailing single step of an odd chunk: passthrough mode (a
-            # fresh output buffer — the one swap-copy per odd chunk)
-            pv, cr, _ = st
-            nw, d = mp.minmax_step_padded(cr, *args, active=active,
-                                          with_rms=True, **kw)
-            return (cr, nw, d)
-
-        prev, cur, dsq = jax.lax.cond(m % 2 == 1, odd_step,
-                                      lambda st: st, (prev, cur, dsq))
+        if pairs:
+            pv, cr = jax.lax.fori_loop(0, pairs - 1, double, (p, cur))
+            a = mp.minmax_fusedk_padded(cr, *args, ksteps=K,
+                                        active=active, carry=pv, **kw)
+            cur, dsq = mp.minmax_fusedk_padded(a, *args, ksteps=K,
+                                               active=active, carry=cr,
+                                               with_rms=True, **kw)
         rms = jnp.sqrt(dsq / denom)
         emit_iteration("minmax_narrowband", metrics_every,
-                       n + m, rms, band_tiles=jnp.sum(active),
+                       n + chunk_steps, rms, band_tiles=jnp.sum(active),
                        cells=shape[0] * shape[1] * shape[2])
         done = (rms < tol) | jnp.isnan(rms)
-        return (prev, cur, n + m, rms, done)
+        return (cur, n + chunk_steps, dsq, done)
 
     def cond(state):
-        _, _, n, _, done = state
-        return (~done) & (n < iters)
+        _, n, _, done = state
+        return (~done) & (n + chunk_steps <= iters)
 
-    init = (phi_pad0, cur0, jnp.int32(1), rms0,
-            (rms0 < tol) | jnp.isnan(rms0))
-    _, phi_pad, n, rms, _ = jax.lax.while_loop(cond, body, init)
+    init = (phi_pad0, jnp.int32(0), jnp.asarray(jnp.inf, dt),
+            jnp.bool_(False))
+    phi_pad, n, dsq, done = jax.lax.while_loop(cond, body, init)
+
+    # single-step tail: exact iteration accounting for counts that are
+    # not a multiple of the fused chunk (the single-step kernel's math is
+    # bitwise identical to one fused inner step); skipped if converged
+    rem = jnp.where(done, jnp.int32(0), jnp.int32(iters) - n)
+    active_t = refresh(phi_pad)
+
+    def tail(_, st):
+        q, _ = st
+        return mp.minmax_step_padded(q, *args, active=active_t,
+                                     with_rms=True, **kw)
+
+    phi_pad, dsq = jax.lax.fori_loop(0, rem, tail, (phi_pad, dsq))
+    n = n + rem
+    rms = jnp.sqrt(dsq / denom)
     return MinMaxResult(phi=mp.crop_from_pallas(phi_pad, shape),
                         iterations=n, final_rms=rms,
                         diverged=jnp.isnan(rms))
