@@ -517,6 +517,147 @@ def bench_init(n):
     return t_c, t_d, t_build, K
 
 
+def _cube40_grid(n):
+    from levelsetfortran_tpu.grid.grid import Grid3D
+    from levelsetfortran_tpu.io.stl import read_stl
+    mesh = read_stl("/root/reference/cube40.stl")
+    lo, hi = mesh.vertices.min(0), mesh.vertices.max(0)
+    span = float((hi - lo).max()) * 1.2
+    dx = span / (n - 1)
+    origin = tuple(float(c) for c in (lo + hi) / 2 - span / 2)
+    return Grid3D(shape=(n, n, n), origin=origin, dx=dx), mesh
+
+
+def bench_e2e_pixgrad(n, reinit_steps=50, minmax_steps=20, hw=64):
+    """BASELINE config-5 chain END TO END (VERDICT r4 missing #2): one
+    pixels->vertices value_and_grad through culled init + fixed-step
+    reinit + min/max smoothing + the sphere-traced renderer, on the
+    cube40 mesh at n^3, plus a per-stage FORWARD decomposition so the
+    dominating stage is data, not a guess."""
+    import numpy as np
+    from levelsetfortran_tpu.ops.init_sign import (build_init_culling,
+                                                   signed_distance_init)
+    from levelsetfortran_tpu.pipeline.differentiable import (
+        image_loss_and_vertex_grad, render_from_vertices)
+    from levelsetfortran_tpu.render.sphere_trace import camera_rays, render
+    from levelsetfortran_tpu.solvers.minmax_flow import minmax_flow_fixed
+    from levelsetfortran_tpu.solvers.reinit import reinit_fixed
+    grid, mesh = _cube40_grid(n)
+    v = jnp.asarray(mesh.vertices, jnp.float32)
+    e = jnp.asarray(mesh.elements)
+    t0 = time.perf_counter()
+    cull = build_init_culling(grid, np.asarray(mesh.vertices),
+                              np.asarray(mesh.elements), block=16)
+    t_build = time.perf_counter() - t0
+    kw = dict(eye=(0.0, -3.0, 0.0), target=(0.0, 0.0, 0.0),
+              reinit_steps=reinit_steps, minmax_steps=minmax_steps,
+              height=hw, width=hw, culling=cull)
+    target = jnp.zeros((hw, hw), jnp.float32)
+
+    @jax.jit
+    def run(vv):
+        loss, g = image_loss_and_vertex_grad(vv, e, grid, target, **kw)
+        return loss + jnp.sum(g)
+
+    t_total = timed_min(run, v)
+
+    # forward stage decomposition (each stage timed on its own inputs)
+    dx = grid.dx
+    f_init = jax.jit(lambda vv: jnp.sum(signed_distance_init(
+        grid, vv, e, dtype=jnp.float32, culling=cull)))
+    t_init = timed_min(f_init, v)
+    phi0 = signed_distance_init(grid, v, e, dtype=jnp.float32, culling=cull)
+    f_re = jax.jit(lambda p: jnp.sum(reinit_fixed(
+        p, dx, 0.1 * dx, reinit_steps, remat=False)))
+    t_re = timed_min(f_re, phi0)
+    phi1 = reinit_fixed(phi0, dx, 0.1 * dx, reinit_steps, remat=False)
+    f_mm = jax.jit(lambda p: jnp.sum(minmax_flow_fixed(
+        p, dx, 0.01 * dx * dx, minmax_steps)))
+    t_mm = timed_min(f_mm, phi1)
+    phi2 = minmax_flow_fixed(phi1, dx, 0.01 * dx * dx, minmax_steps)
+    origins, dirs = camera_rays(hw, hw, eye=kw["eye"], target=kw["target"],
+                                dtype=phi2.dtype)
+    f_rd = jax.jit(lambda p: jnp.sum(render(
+        p, grid, origins, dirs, n_steps=64, hit_tol=0.25 * dx).image))
+    t_rd = timed_min(f_rd, phi2)
+    return dict(total=t_total, build=t_build, init_fwd=t_init,
+                reinit_fwd=t_re, minmax_fwd=t_mm, render_fwd=t_rd)
+
+
+def bench_e2e_pixgrad_sharded(n, reinit_steps=20, minmax_steps=10, hw=64):
+    """The 512-class sharded variant of the config-5 chain on the 1-chip
+    device mesh (3D decomposition machinery engaged; ICI-free)."""
+    import numpy as np
+    from levelsetfortran_tpu.ops.init_sign import build_init_culling
+    from levelsetfortran_tpu.parallel.mesh import make_mesh
+    from levelsetfortran_tpu.pipeline.differentiable import (
+        image_loss_and_vertex_grad)
+    grid, mesh_ = _cube40_grid(n)
+    v = jnp.asarray(mesh_.vertices, jnp.float32)
+    e = jnp.asarray(mesh_.elements)
+    cull = build_init_culling(grid, np.asarray(mesh_.vertices),
+                              np.asarray(mesh_.elements), block=16,
+                              bucketed=False)
+    dev_mesh = make_mesh()
+    target = jnp.zeros((hw, hw), jnp.float32)
+    kw = dict(eye=(0.0, -3.0, 0.0), target=(0.0, 0.0, 0.0),
+              reinit_steps=reinit_steps, minmax_steps=minmax_steps,
+              height=hw, width=hw, culling=cull, mesh=dev_mesh)
+
+    @jax.jit
+    def run(vv):
+        loss, g = image_loss_and_vertex_grad(vv, e, grid, target, **kw)
+        return loss + jnp.sum(g)
+
+    return timed_min(run, v)
+
+
+def bench_advect(n, iters=1000):
+    """Forward node-advection cost (VERDICT r4 weak #7: zero perf
+    visibility): the reference's 1000-iteration trilinear walk
+    (set3d.f90:489-501) vectorized over the cube40 mesh's nodes on an
+    n^3 smoothed field."""
+    from levelsetfortran_tpu.solvers.advect import advect_nodes
+    grid, mesh = _cube40_grid(n)
+    xs = jnp.linspace(-1.0, 1.0, n, dtype=jnp.float32)
+    gx, gy, gz = jnp.meshgrid(xs, xs, xs, indexing="ij")
+    phi = jnp.sqrt(gx * gx + gy * gy + gz * gz) - 0.6
+    pos = jnp.asarray(mesh.vertices, jnp.float32) * 0.6  # near the sphere
+
+    def make(it):
+        @jax.jit
+        def run(p, x):
+            r = advect_nodes(p, grid, x, grid.dx, iters=it)
+            return jnp.sum(r.positions)
+        return run
+
+    small, big = make(100), make(100 + iters)
+    t_small = timed_min(small, phi, pos)
+    t_big = timed_min(big, phi, pos)
+    return max(t_big - t_small, 1e-9), pos.shape[0]
+
+
+def bench_render(n, hw=256):
+    """Forward sphere-traced render throughput (VERDICT r4 weak #7)."""
+    from levelsetfortran_tpu.render.sphere_trace import camera_rays, render
+    grid, _ = _cube40_grid(n)
+    xs = jnp.linspace(grid.origin[0], grid.origin[0] + (n - 1) * grid.dx,
+                      n, dtype=jnp.float32)
+    gx, gy, gz = jnp.meshgrid(xs, xs, xs, indexing="ij")
+    phi = jnp.sqrt(gx * gx + gy * gy + gz * gz) - 0.7
+    origins, dirs = camera_rays(hw, hw, eye=(0.0, -3.0, 0.0),
+                                target=(0.0, 0.0, 0.0), dtype=phi.dtype)
+
+    @jax.jit
+    def run(p):
+        out = render(p, grid, origins, dirs, n_steps=64,
+                     hit_tol=0.25 * grid.dx)
+        return jnp.sum(out.image)
+
+    t = timed_min(run, phi)
+    return t, hw * hw / t
+
+
 def bench_narrowband(n):
     """Dense vs narrow-band reinit step time on a near-converged sphere SDF
     (band occupies ~a surface shell of tiles)."""
@@ -597,6 +738,11 @@ def main():
         ("serving_64", lambda: bench_serving(64, 8)),
         ("serving_96", lambda: bench_serving(96, 4)),
         ("serving_128", lambda: bench_serving(128, 2)),
+        ("e2e_pixgrad_256", lambda: bench_e2e_pixgrad(256)),
+        ("e2e_pixgrad_512_sharded",
+         lambda: bench_e2e_pixgrad_sharded(512)),
+        ("advect_256", lambda: bench_advect(256)),
+        ("render_256", lambda: bench_render(256)),
     ]:
         try:
             if name == "reinit_bwd_256":
@@ -642,6 +788,22 @@ def main():
                 detail[name + "_seconds"] = sg_secs
             elif name == "overlap_overhead_256":
                 detail[name] = fn()
+            elif name == "e2e_pixgrad_256":
+                st = fn()
+                detail["e2e_pixgrad_256_seconds"] = st["total"]
+                for k in ("build", "init_fwd", "reinit_fwd", "minmax_fwd",
+                          "render_fwd"):
+                    detail[f"e2e_256_stage_{k}_seconds"] = st[k]
+            elif name == "e2e_pixgrad_512_sharded":
+                detail["e2e_pixgrad_512_sharded_seconds"] = fn()
+            elif name == "advect_256":
+                a_t, a_nodes = fn()
+                detail["advect_1000iter_256_seconds"] = a_t
+                detail["advect_node_updates_per_sec"] = a_nodes * 1000 / a_t
+            elif name == "render_256":
+                r_t, r_pps = fn()
+                detail["render_256x256_at_256grid_seconds"] = r_t
+                detail["render_pixels_per_sec"] = r_pps
             elif name.startswith("serving_"):
                 v_gps, s_gps = fn()
                 detail[name + "_vmap_gps"] = v_gps
