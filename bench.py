@@ -528,6 +528,37 @@ def _cube40_grid(n):
     return Grid3D(shape=(n, n, n), origin=origin, dx=dx), mesh
 
 
+def bench_sharded_banded_grad(n, steps):
+    """Banded x sharded x differentiable product (VERDICT r4 next #4):
+    the fixed-step sharded reverse mode with narrow-band tile skipping in
+    BOTH sweeps, vs its dense counterpart (bench_sharded_grad)."""
+    from levelsetfortran_tpu.parallel.mesh import make_mesh
+    from levelsetfortran_tpu.parallel.sharded import reinit_fixed_sharded
+    phi0 = jnp.sqrt(jnp.sum(jnp.stack(jnp.meshgrid(
+        *([jnp.linspace(-1.0, 1.0, n, dtype=jnp.float32)] * 3),
+        indexing="ij")) ** 2, axis=0)) - 0.6
+    dx = 2.0 / (n - 1)
+    h = 0.1 * dx
+    mesh = make_mesh()
+
+    @jax.jit
+    def run(p):
+        grad = jax.grad(lambda q: jnp.sum(
+            reinit_fixed_sharded(mesh, q, dx, h, steps, use_pallas=True,
+                                 band_radius=8.1, refresh_every=8)))(p)
+        return jnp.sum(grad)
+
+    val = float(run(phi0))
+    if not jnp.isfinite(val):
+        raise FloatingPointError(f"non-finite banded sharded grad {val}")
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(run(phi0))
+        best = min(best, time.perf_counter() - t0)
+    return n ** 3 * steps / best, best
+
+
 def bench_e2e_pixgrad(n, reinit_steps=50, minmax_steps=20, hw=64):
     """BASELINE config-5 chain END TO END (VERDICT r4 missing #2): one
     pixels->vertices value_and_grad through culled init + fixed-step
@@ -732,6 +763,8 @@ def main():
         ("minmax_nb_256", lambda: bench_minmax_nb(256)),
         ("minmax_nb_flat", lambda: bench_minmax_nb(0, flat=True)),
         ("sharded_grad200_256", lambda: bench_sharded_grad(256, 200)),
+        ("sharded_grad_nb_256",
+         lambda: bench_sharded_banded_grad(256, 200)),
         ("sharded_grad50_512", lambda: bench_sharded_grad(512, 50)),
         ("overlap_overhead_256", lambda: bench_overlap_overhead(256)),
         ("grad_nb_256", lambda: bench_banded_grad(256)),
@@ -786,6 +819,10 @@ def main():
                 sg_cups, sg_secs = fn()
                 detail[name + "_cups"] = sg_cups
                 detail[name + "_seconds"] = sg_secs
+                if name == "sharded_grad_nb_256" and \
+                        "sharded_grad200_256_seconds" in detail:
+                    detail["sharded_grad_nb_256_speedup"] = (
+                        detail["sharded_grad200_256_seconds"] / sg_secs)
             elif name == "overlap_overhead_256":
                 detail[name] = fn()
             elif name == "e2e_pixgrad_256":

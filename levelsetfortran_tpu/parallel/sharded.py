@@ -879,7 +879,8 @@ def _fixed_pallas_setup(mesh, gshape, dtype, use_pallas):
 
 def reinit_fixed_sharded(mesh, phi0, dx, h, steps: int, *, eps_scale=1e-6,
                          eps_floor=None, quirk_y_p5_zero=False, remat=True,
-                         use_pallas="auto"):
+                         use_pallas="auto", band_radius=None,
+                         refresh_every: int = 8, tile=None):
     """Sharded analogue of :func:`solvers.reinit.reinit_fixed` — a
     reverse-mode-differentiable fixed-step solve under ``shard_map``.
 
@@ -902,15 +903,31 @@ def reinit_fixed_sharded(mesh, phi0, dx, h, steps: int, *, eps_scale=1e-6,
     The jnp fallback (non-TPU meshes, f64, z-sharded meshes, or
     ``use_pallas=False``) scans the jnp block step with per-step
     ``jax.checkpoint``.
+
+    ``band_radius`` (optional) composes the NARROW-BAND restriction with
+    the sharded reverse mode (the banded x sharded x differentiable
+    product): per refresh chunk each shard recomputes its tile-activity
+    mask from the exchanged pad; frozen tiles pass through forward and
+    carry identity cotangents backward (the banded adjoint kernel).
+    With a matching ``tile``, the result is bitwise-identical to the
+    single-device ``reinit_scan_pallas_banded`` (same mask semantics on
+    aligned tile grids; the jnp fallback ignores banding).
     """
     gshape = tuple(phi0.shape)
     setup = _fixed_pallas_setup(mesh, gshape, phi0.dtype, use_pallas)
     if setup is not None:
-        tile, _, nzp, interpret = setup
-        return _reinit_fixed_sharded_pallas(
-            mesh, phi0, dx, h, steps, eps_scale=eps_scale,
-            eps_floor=eps_floor, quirk_y_p5_zero=quirk_y_p5_zero,
-            tile=tile, nzp=nzp, interpret=interpret)
+        atile, _, nzp, interpret = setup
+        if tile is None:
+            tile = (atile if band_radius is None
+                    else (atile[0], min(atile[1], 16)))
+        bx = gshape[0] // mesh.devices.shape[0]
+        by = gshape[1] // mesh.devices.shape[1]
+        if bx % tile[0] == 0 and by % tile[1] == 0:
+            return _reinit_fixed_sharded_pallas(
+                mesh, phi0, dx, h, steps, eps_scale=eps_scale,
+                eps_floor=eps_floor, quirk_y_p5_zero=quirk_y_p5_zero,
+                tile=tile, nzp=nzp, interpret=interpret,
+                band_radius=band_radius, refresh_every=refresh_every)
     mesh_shape = tuple(mesh.devices.shape)
     kw = dict(gshape=gshape, mesh_shape=mesh_shape, eps_scale=eps_scale,
               eps_floor=eps_floor, quirk_y_p5_zero=quirk_y_p5_zero)
@@ -931,7 +948,8 @@ def reinit_fixed_sharded(mesh, phi0, dx, h, steps: int, *, eps_scale=1e-6,
 
 def _reinit_fixed_sharded_pallas(mesh, phi0, dx, h, steps: int, *,
                                  eps_scale, eps_floor, quirk_y_p5_zero,
-                                 tile, nzp, interpret):
+                                 tile, nzp, interpret, band_radius=None,
+                                 refresh_every: int = 8):
     """Fused-kernel sharded reverse mode (see reinit_fixed_sharded)."""
     from ..ops import weno_pallas as wp
     if eps_floor is None:
@@ -958,10 +976,20 @@ def _reinit_fixed_sharded_pallas(mesh, phi0, dx, h, steps: int, *,
             return (jax.lax.axis_index(AXIS_NAMES[0]) * bx,
                     jax.lax.axis_index(AXIS_NAMES[1]) * by)
 
-        def fstep(p, sign_pad, dxa, ha):
+        def activity(pad, dxa, nsteps):
+            # same criterion and tile grid as the single-device banded
+            # scan, evaluated on the exchanged pad (halo cells carry the
+            # neighbor shard's true values, so boundary tiles see band
+            # cells just across the shard seam)
+            return wp.tile_activity(pad, gshape, tile, dxa, band_radius,
+                                    margin_cells=nsteps * h / dxa,
+                                    offsets=offsets())
+
+        def fstep(p, sign_pad, dxa, ha, active=None):
             pad = halo_exchange(p, widths, mesh_shape)
             out = wp._pallas_step_padded(pad, sign_pad, dxa, ha,
-                                         offsets=offsets(), **kwf)
+                                         offsets=offsets(), active=active,
+                                         **kwf)
             return out[wp.XA:wp.XA + bx, wp.YA:wp.YA + by, :]
 
         # dx/h are explicit custom_vjp args (not closure): callers may pass
@@ -1022,8 +1050,90 @@ def _reinit_fixed_sharded_pallas(mesh, phi0, dx, h, steps: int, *,
 
         solve.defvjp(solve_fwd, solve_bwd)
 
+        # -------- narrow-band x sharded x differentiable composition ----
+        r = min(int(refresh_every), int(steps)) if steps else 1
+        n_full, rem = divmod(int(steps), r)
+
+        def chunk_f(p, sign_pad, dxa, ha, nsteps):
+            pad = halo_exchange(p, widths, mesh_shape)
+            active = activity(pad, dxa, nsteps)
+
+            def step(q, _):
+                return fstep(q, sign_pad, dxa, ha, active=active), None
+
+            out, _ = jax.lax.scan(step, p, None, length=nsteps)
+            return out
+
+        @jax.custom_vjp
+        def solveb(pz, dxa, ha):
+            sign_pad = halo_exchange(pz, widths, mesh_shape)
+
+            def body(p, _):
+                return chunk_f(p, sign_pad, dxa, ha, r), None
+
+            p, _ = jax.lax.scan(body, pz, None, length=n_full)
+            return chunk_f(p, sign_pad, dxa, ha, rem) if rem else p
+
+        def solveb_fwd(pz, dxa, ha):
+            sign_pad = halo_exchange(pz, widths, mesh_shape)
+
+            def body(p, _):
+                return chunk_f(p, sign_pad, dxa, ha, r), p
+
+            p, snaps = jax.lax.scan(body, pz, None, length=n_full)
+            rem_start = p if rem else None
+            out = chunk_f(p, sign_pad, dxa, ha, rem) if rem else p
+            return out, (pz, dxa, ha, snaps, rem_start)
+
+        def solveb_bwd(res, g):
+            pz, dxa, ha, snaps, rem_start = res
+            sign_pad = halo_exchange(pz, widths, mesh_shape)
+            zero = jnp.zeros((), dt)
+
+            def chunk_bwd(carry, p_start, nsteps):
+                pad_start = halo_exchange(p_start, widths, mesh_shape)
+                active = activity(pad_start, dxa, nsteps)
+
+                def fscan(q, _):
+                    return fstep(q, sign_pad, dxa, ha, active=active), q
+
+                _, traj = jax.lax.scan(fscan, p_start, None,
+                                       length=nsteps)
+
+                def bstep(c, p_in):
+                    gp, cs_acc, cdx_acc, ch_acc = c
+                    pad = halo_exchange(p_in, widths, mesh_shape)
+                    g_pad = jnp.pad(gp, ((wp.XA, wp.XA), (wp.YA, wp.YA),
+                                         (0, 0)))
+                    # banded adjoint runs at the FORWARD tile (the mask
+                    # granularity), unlike the dense path's bwd tile
+                    cp, cs, cdx, ch = wp._pallas_bwd_padded(
+                        pad, sign_pad, g_pad, dxa, ha, tile=tile,
+                        offsets=offsets(), active=active, **kwb)
+                    return (halo_exchange_transpose(cp, widths,
+                                                    mesh_shape),
+                            cs_acc + cs, cdx_acc + cdx, ch_acc + ch), None
+
+                c, _ = jax.lax.scan(bstep, carry, traj, reverse=True)
+                return c
+
+            carry = (g, jnp.zeros_like(sign_pad), zero, zero)
+            if rem:
+                carry = chunk_bwd(carry, rem_start, rem)
+
+            def body(c, p_start):
+                return chunk_bwd(c, p_start, r), None
+
+            carry, _ = jax.lax.scan(body, carry, snaps, reverse=True)
+            gp, cs_acc, cdx, ch = carry
+            cs_local = halo_exchange_transpose(cs_acc, widths, mesh_shape)
+            return (gp + cs_local, cdx, ch)
+
+        solveb.defvjp(solveb_fwd, solveb_bwd)
+
         pz0 = jnp.pad(p0, ((0, 0), (0, 0), (0, nzp - nz)), mode="edge")
-        return solve(pz0, jnp.asarray(dx, dt), jnp.asarray(h, dt))[..., :nz]
+        run = solve if band_radius is None else solveb
+        return run(pz0, jnp.asarray(dx, dt), jnp.asarray(h, dt))[..., :nz]
 
     return shard_map(local, mesh=mesh, in_specs=(spec,),
                      out_specs=spec, check_vma=False)(phi0)

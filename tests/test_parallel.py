@@ -546,3 +546,59 @@ def test_pallas_overlap_step_matches_plain(eight_devices):
     np.testing.assert_array_equal(np.asarray(jax.device_get(p1)),
                                   np.asarray(jax.device_get(p2)))
     np.testing.assert_allclose(float(d1), float(d2), rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_reinit_banded_sharded_grad_matches_single(eight_devices):
+    """Narrow-band x sharded x differentiable composition (VERDICT r4
+    next #4): with a matching tile, the banded sharded fixed-step solve
+    and its gradient match the single-device banded scan — per-shard
+    masks from the exchanged pads reproduce the global mask on the
+    aligned tile grid."""
+    import numpy as np
+    from levelsetfortran_tpu.ops.weno_pallas import (
+        reinit_scan_pallas_banded)
+    from levelsetfortran_tpu.parallel.mesh import make_mesh
+    from levelsetfortran_tpu.parallel.sharded import reinit_fixed_sharded
+
+    n = (64, 32, 16)
+    xs = [np.linspace(-3.0, 3.0, n[0]), np.linspace(-1.2, 1.2, n[1]),
+          np.linspace(-0.6, 0.6, n[2])]
+    gx, gy, gz = np.meshgrid(*xs, indexing="ij")
+    s1 = np.sqrt((gx + 2.2) ** 2 + gy ** 2 + gz ** 2) - 0.3
+    s2 = np.sqrt((gx - 2.2) ** 2 + gy ** 2 + gz ** 2) - 0.3
+    phi0 = jnp.asarray((1.5 * np.minimum(s1, s2)).astype(np.float32))
+    dx = 2.4 / 31
+    h = 0.1 * dx
+    mesh = make_mesh((4, 2, 1), eight_devices)
+    tile = (8, 8)
+    band = 4.1
+
+    out_sh = reinit_fixed_sharded(mesh, phi0, dx, h, 5, use_pallas=True,
+                                  band_radius=band, refresh_every=3,
+                                  tile=tile)
+    ref = reinit_scan_pallas_banded(phi0, dx, h, 5, band_radius=band,
+                                    refresh_every=3, tile=tile,
+                                    axis_order=(0, 1, 2))
+    np.testing.assert_allclose(np.asarray(jax.device_get(out_sh)),
+                               np.asarray(ref), atol=2e-6)
+    # freezing must actually occur somewhere or the test is vacuous
+    assert np.any(np.asarray(jax.device_get(out_sh)) == np.asarray(phi0))
+
+    w = jnp.asarray(np.random.default_rng(0).standard_normal(n),
+                    jnp.float32)
+
+    def loss_sh(p):
+        return jnp.sum(w * reinit_fixed_sharded(
+            mesh, p, dx, h, 5, use_pallas=True, band_radius=band,
+            refresh_every=3, tile=tile))
+
+    def loss_ref(p):
+        return jnp.sum(w * reinit_scan_pallas_banded(
+            p, dx, h, 5, band_radius=band, refresh_every=3, tile=tile,
+            axis_order=(0, 1, 2)))
+
+    g_sh = np.asarray(jax.device_get(jax.grad(loss_sh)(phi0)))
+    g_ref = np.asarray(jax.grad(loss_ref)(phi0))
+    assert np.abs(g_ref).max() > 0
+    np.testing.assert_allclose(g_sh, g_ref, atol=2e-4, rtol=1e-3)
