@@ -559,6 +559,27 @@ def bench_sharded_banded_grad(n, steps):
     return n ** 3 * steps / best, best
 
 
+def bench_scaling_single(block=256):
+    """benchmarks/scaling.py's weak-scaling datum on THIS chip, recorded
+    so the scaling harness's own numbers are regression-tracked
+    (VERDICT r4 next #7): per-chip step rate at k=1 and the k=2
+    halo-deep variant (its wider-halo compute overhead is the single-chip
+    cost the PARALLEL.md efficiency model charges against saved message
+    latency)."""
+    from benchmarks.scaling import measure, sphere
+    from levelsetfortran_tpu.parallel.mesh import make_mesh
+    from levelsetfortran_tpu.parallel.sharded import ShardedLevelSet
+    mesh = make_mesh((1, 1, 1), jax.devices()[:1])
+    gshape = (block,) * 3
+    dx = 2.0 / (block - 1)
+    phi0 = sphere(gshape)
+    out = {}
+    for k in (1, 2):
+        s = ShardedLevelSet(mesh, gshape, dx, steps_per_exchange=k)
+        out[k] = 1.0 / measure(s, phi0, 0.1 * dx)
+    return out
+
+
 def bench_e2e_pixgrad(n, reinit_steps=50, minmax_steps=20, hw=64):
     """BASELINE config-5 chain END TO END (VERDICT r4 missing #2): one
     pixels->vertices value_and_grad through culled init + fixed-step
@@ -775,6 +796,7 @@ def main():
         ("e2e_pixgrad_512_sharded",
          lambda: bench_e2e_pixgrad_sharded(512)),
         ("advect_256", lambda: bench_advect(256)),
+        ("scaling_single", lambda: bench_scaling_single(256)),
         ("render_256", lambda: bench_render(256)),
     ]:
         try:
@@ -837,6 +859,10 @@ def main():
                 a_t, a_nodes = fn()
                 detail["advect_1000iter_256_seconds"] = a_t
                 detail["advect_node_updates_per_sec"] = a_nodes * 1000 / a_t
+            elif name == "scaling_single":
+                sc = fn()
+                detail["scaling_weak_block256_steps_per_sec_k1"] = sc[1]
+                detail["scaling_weak_block256_steps_per_sec_k2"] = sc[2]
             elif name == "render_256":
                 r_t, r_pps = fn()
                 detail["render_256x256_at_256grid_seconds"] = r_t
