@@ -667,7 +667,7 @@ def minmax_fusedk_padded(phi_pad, dx, h1, band_radius, threshold, *, gshape,
 
 # ----------------------------- backward kernel -----------------------------
 
-def _make_bwd_kernel(gshape, tile, nzp):
+def _make_bwd_kernel(gshape, tile, nzp, banded=False):
     """Hand adjoint of the min/max Euler step, in GATHER form.
 
     The step is a radius-1 stencil (~30 ops/cell), so unlike the WENO
@@ -694,15 +694,24 @@ def _make_bwd_kernel(gshape, tile, nzp):
     Windows are sanitized (zeroed outside the true grid) so garbage in
     never-written apron/round-up HBM cannot poison the adjoint; gated
     cotangents are zero there, so sanitization changes no real cotangent.
+
+    ``banded=True`` adds an SMEM (nbx, nby) int32 activity mask (use a
+    ±1-cell-dilated band criterion, e.g. tile_activity window="band4"):
+    an inactive tile's cotangent is identically the upstream ``g`` (no
+    in-band cell in its ±1-extended region ⇒ every gathered cot_sum6 is
+    zero and cot_c == g), so only its owned g slab moves (passthrough).
     """
     nx, ny, nz = gshape
     tx, ty = tile
     wxb, wy = tx + 4, ty + 2 * YA          # phi/g window: +-2 in x around tile
     ex, ey = tx + 2, ty + 2                # extended compute region (+-1)
 
-    def kernel(dx_ref, h1_ref, br_ref, th_ref, ox_ref, oy_ref,
-               phi_hbm, g_hbm, cot_hbm, cotdx_ref, coth1_ref,
-               pwin_d, gwin_d, owin_d, acc, in_sems, out_sems):
+    def kernel(dx_ref, h1_ref, br_ref, th_ref, ox_ref, oy_ref, *rest):
+        if banded:
+            active_ref = rest[0]
+            rest = rest[1:]
+        (phi_hbm, g_hbm, cot_hbm, cotdx_ref, coth1_ref,
+         pwin_d, gwin_d, owin_d, acc, in_sems, out_sems) = rest
         bi = pl.program_id(0)
         bj = pl.program_id(1)
         nby = pl.num_programs(1)
@@ -722,6 +731,53 @@ def _make_bwd_kernel(gshape, tile, nzp):
                 gwin_d.at[slot], in_sems.at[slot, 1])
             return p, g
 
+        def in_dma_small(slot, block_lin):
+            # inactive tile: only the owned g slab moves (identity cot)
+            wi = block_lin // nby
+            wj = block_lin % nby
+            return pltpu.make_async_copy(
+                g_hbm.at[pl.ds(XA + wi * tx, tx),
+                         pl.ds(YA + wj * ty, ty), :],
+                gwin_d.at[slot, pl.ds(2, tx), pl.ds(YA, ty), :],
+                in_sems.at[slot, 1])
+
+        def block_active(block_lin):
+            wi = block_lin // nby
+            wj = block_lin % nby
+            return active_ref[wi, wj] > 0
+
+        def start_loads(slot, block_lin):
+            if not banded:
+                for c in in_dmas(slot, block_lin):
+                    c.start()
+                return
+            act = block_active(block_lin)
+
+            @pl.when(act)
+            def _():
+                for c in in_dmas(slot, block_lin):
+                    c.start()
+
+            @pl.when(~act)
+            def _():
+                in_dma_small(slot, block_lin).start()
+
+        def wait_loads(slot, block_lin):
+            if not banded:
+                for c in in_dmas(slot, block_lin):
+                    c.wait()
+                return
+            act = block_active(block_lin)
+
+            @pl.when(act)
+            def _():
+                for c in in_dmas(slot, block_lin):
+                    c.wait()
+
+            @pl.when(~act)
+            def _():
+                in_dma_small(slot, block_lin).wait()
+
         def out_dma(slot, block_lin):
             wi = block_lin // nby
             wj = block_lin % nby
@@ -733,17 +789,14 @@ def _make_bwd_kernel(gshape, tile, nzp):
 
         @pl.when(lin == 0)
         def _():
-            for c in in_dmas(0, 0):
-                c.start()
+            start_loads(0, 0)
 
         @pl.when(lin + 1 < n_blocks)
         def _():
-            for c in in_dmas((lin + 1) % 2, lin + 1):
-                c.start()
+            start_loads((lin + 1) % 2, lin + 1)
 
         slot = lin % 2
-        for c in in_dmas(slot, lin):
-            c.wait()
+        wait_loads(slot, lin)
 
         dx = dx_ref[0, 0]
         h1 = h1_ref[0, 0]
@@ -751,75 +804,94 @@ def _make_bwd_kernel(gshape, tile, nzp):
         threshold = th_ref[0, 0]
         inv_dx2 = 1.0 / (dx * dx)
 
-        # global true-grid coordinates of the window
-        wgx = (ox_ref[0, 0] + bi * tx - 2
-               + jax.lax.broadcasted_iota(jnp.int32, (wxb, 1, 1), 0))
-        wgy = (oy_ref[0, 0] + bj * ty - YA
-               + jax.lax.broadcasted_iota(jnp.int32, (1, wy, 1), 1))
-        wgz = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nzp), 2)
-        wvalid = ((wgx >= 0) & (wgx < nx) & (wgy >= 0) & (wgy < ny)
-                  & (wgz < nz))
-        pw = jnp.where(wvalid, pwin_d[slot], 0.0)
-        gw = jnp.where(wvalid, gwin_d[slot], 0.0)
+        def compute():
+            # global true-grid coordinates of the window
+            wgx = (ox_ref[0, 0] + bi * tx - 2
+                   + jax.lax.broadcasted_iota(jnp.int32, (wxb, 1, 1), 0))
+            wgy = (oy_ref[0, 0] + bj * ty - YA
+                   + jax.lax.broadcasted_iota(jnp.int32, (1, wy, 1), 1))
+            wgz = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nzp), 2)
+            wvalid = ((wgx >= 0) & (wgx < nx) & (wgy >= 0) & (wgy < ny)
+                      & (wgz < nz))
+            pw = jnp.where(wvalid, pwin_d[slot], 0.0)
+            gw = jnp.where(wvalid, gwin_d[slot], 0.0)
 
-        def sl(a, dxo, dyo):
-            # +-1-extended region shifted by (dxo, dyo): window coords
-            # x0 = 1 + dxo in [0, 2], y0 = YA - 1 + dyo
-            return a[1 + dxo:1 + dxo + ex,
-                     YA - 1 + dyo:YA - 1 + dyo + ey, :]
+            def sl(a, dxo, dyo):
+                # +-1-extended region shifted by (dxo, dyo): window coords
+                # x0 = 1 + dxo in [0, 2], y0 = YA - 1 + dyo
+                return a[1 + dxo:1 + dxo + ex,
+                         YA - 1 + dyo:YA - 1 + dyo + ey, :]
 
-        c = sl(pw, 0, 0)
-        sum6 = (sl(pw, -1, 0) + sl(pw, 1, 0) + sl(pw, 0, -1) + sl(pw, 0, 1)
-                + _roll(c, -1, 2) + _roll(c, 1, 2))
-        lap = (sum6 - 6.0 * c) * inv_dx2
-        pave = (sum6 + c) * (1.0 / 7.0)
-        # gate on the extended region, from global coordinates
-        egx = wgx[1:1 + ex]
-        egy = wgy[:, YA - 1:YA - 1 + ey, :]
-        interior = ((egx >= 1) & (egx <= nx - 2) & (egy >= 1)
-                    & (egy <= ny - 2) & (wgz >= 1) & (wgz <= nz - 2))
-        nb = jnp.abs(c) < band_radius * dx
-        gate = nb & interior
+            c = sl(pw, 0, 0)
+            sum6 = (sl(pw, -1, 0) + sl(pw, 1, 0) + sl(pw, 0, -1)
+                    + sl(pw, 0, 1) + _roll(c, -1, 2) + _roll(c, 1, 2))
+            lap = (sum6 - 6.0 * c) * inv_dx2
+            pave = (sum6 + c) * (1.0 / 7.0)
+            # gate on the extended region, from global coordinates
+            egx = wgx[1:1 + ex]
+            egy = wgy[:, YA - 1:YA - 1 + ey, :]
+            interior = ((egx >= 1) & (egx <= nx - 2) & (egy >= 1)
+                        & (egy <= ny - 2) & (wgz >= 1) & (wgz <= nz - 2))
+            nb = jnp.abs(c) < band_radius * dx
+            gate = nb & interior
 
-        sel_min = pave < threshold
-        f = jnp.where(sel_min, jnp.minimum(lap, 0.0),
-                      jnp.maximum(lap, 0.0))
-        # d clamp / d lap with JAX's 0.5-at-tie convention
-        half = jnp.asarray(0.5, lap.dtype)
-        one = jnp.asarray(1.0, lap.dtype)
-        zero = jnp.asarray(0.0, lap.dtype)
-        dmin = jnp.where(lap < 0.0, one, jnp.where(lap == 0.0, half, zero))
-        dmax = jnp.where(lap > 0.0, one, jnp.where(lap == 0.0, half, zero))
-        dlap = jnp.where(sel_min, dmin, dmax)
+            sel_min = pave < threshold
+            f = jnp.where(sel_min, jnp.minimum(lap, 0.0),
+                          jnp.maximum(lap, 0.0))
+            # d clamp / d lap with JAX's 0.5-at-tie convention
+            half = jnp.asarray(0.5, lap.dtype)
+            one = jnp.asarray(1.0, lap.dtype)
+            zero = jnp.asarray(0.0, lap.dtype)
+            dmin = jnp.where(lap < 0.0, one,
+                             jnp.where(lap == 0.0, half, zero))
+            dmax = jnp.where(lap > 0.0, one,
+                             jnp.where(lap == 0.0, half, zero))
+            dlap = jnp.where(sel_min, dmin, dmax)
 
-        ge = sl(gw, 0, 0)
-        cot_f = jnp.where(gate, h1 * ge, 0.0)
-        cot_lap = cot_f * dlap
-        cot_sum6 = cot_lap * inv_dx2
-        cot_c = ge - 6.0 * inv_dx2 * cot_lap
+            ge = sl(gw, 0, 0)
+            cot_f = jnp.where(gate, h1 * ge, 0.0)
+            cot_lap = cot_f * dlap
+            cot_sum6 = cot_lap * inv_dx2
+            cot_c = ge - 6.0 * inv_dx2 * cot_lap
 
-        # gather transpose: owned slice of the extended region is [1:1+tx,
-        # 1:1+ty]; each xy direction contributes its OPPOSITE shift, z via
-        # the inverse rotation (wrapped lanes carry gated zeros only)
-        def own(a, dxo=0, dyo=0):
-            return a[1 - dxo:1 - dxo + tx, 1 - dyo:1 - dyo + ty, :]
+            # gather transpose: owned slice of the extended region is
+            # [1:1+tx, 1:1+ty]; each xy direction contributes its
+            # OPPOSITE shift, z via the inverse rotation (wrapped lanes
+            # carry gated zeros only)
+            def own(a, dxo=0, dyo=0):
+                return a[1 - dxo:1 - dxo + tx, 1 - dyo:1 - dyo + ty, :]
+
+            # scalar sums run over OWNED cells only — the +-1-extended
+            # ring belongs to neighboring tiles (double-count otherwise)
+            ddx = (-2.0 / dx) * jnp.sum(own(cot_lap * lap))
+            dh1 = jnp.sum(own(jnp.where(gate, f * ge, 0.0)))
+            cot = (own(cot_c)
+                   + own(cot_sum6, -1, 0) + own(cot_sum6, 1, 0)
+                   + own(cot_sum6, 0, -1) + own(cot_sum6, 0, 1)
+                   + own(_roll(cot_sum6, 1, 2))
+                   + own(_roll(cot_sum6, -1, 2)))
+            return cot, ddx, dh1
+
+        def passthrough():
+            # no in-band cell within ±1 of this tile: every gathered
+            # cot term is zero and the cotangent is identically g
+            z = jnp.zeros((), dx.dtype)
+            return gwin_d[slot, 2:2 + tx, YA:YA + ty, :], z, z
 
         @pl.when(lin == 0)
         def _():
             acc[0] = jnp.zeros((), dx.dtype)
             acc[1] = jnp.zeros((), dx.dtype)
 
-        # scalar sums run over OWNED cells only — the +-1-extended ring
-        # belongs to neighboring tiles and would be double-counted
-        acc[0] += (-2.0 / dx) * jnp.sum(own(cot_lap * lap))
-        acc[1] += jnp.sum(own(jnp.where(gate, f * ge, 0.0)))
+        if banded:
+            cot, ddx, dh1 = jax.lax.cond(block_active(lin), compute,
+                                         passthrough)
+        else:
+            cot, ddx, dh1 = compute()
+        acc[0] += ddx
+        acc[1] += dh1
         cotdx_ref[0, 0] = acc[0]
         coth1_ref[0, 0] = acc[1]
-
-        cot = (own(cot_c)
-               + own(cot_sum6, -1, 0) + own(cot_sum6, 1, 0)
-               + own(cot_sum6, 0, -1) + own(cot_sum6, 0, 1)
-               + own(_roll(cot_sum6, 1, 2)) + own(_roll(cot_sum6, -1, 2)))
 
         @pl.when(lin >= 2)
         def _():
@@ -840,7 +912,7 @@ def _make_bwd_kernel(gshape, tile, nzp):
 
 @functools.partial(jax.jit, static_argnames=("gshape", "tile", "interpret"))
 def minmax_bwd_padded(phi_pad, g_pad, dx, h1, band_radius, threshold, *,
-                      gshape, tile, interpret, offsets=None):
+                      gshape, tile, interpret, offsets=None, active=None):
     """VJP of :func:`minmax_step_padded` w.r.t. (phi_pad, dx, h1).
 
     ``g_pad`` must be ZERO at apron/round-up positions; returned phi
@@ -848,6 +920,10 @@ def minmax_bwd_padded(phi_pad, g_pad, dx, h1, band_radius, threshold, *,
     callers crop, and the scan backward's window loads mask them out).
     ``band_radius``/``threshold`` have exactly zero cotangent (they enter
     through booleans only), so they are not returned.
+
+    ``active`` ((nbx, nby) int32, a ±1-dilated band criterion — e.g.
+    tile_activity window="band4"): inactive tiles are identity-cotangent
+    passthroughs that load only their owned g slab (see _make_bwd_kernel).
     """
     nx, ny, nz = gshape
     tx, ty = tile
@@ -856,7 +932,8 @@ def minmax_bwd_padded(phi_pad, g_pad, dx, h1, band_radius, threshold, *,
     nzp = phi_pad.shape[2]
     if offsets is None:
         offsets = (jnp.int32(0), jnp.int32(0))
-    kernel, (wxb, wy) = _make_bwd_kernel(gshape, tile, nzp)
+    kernel, (wxb, wy) = _make_bwd_kernel(gshape, tile, nzp,
+                                         banded=active is not None)
     scalar = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                           memory_space=pltpu.SMEM)
     itemsize = phi_pad.dtype.itemsize
@@ -874,14 +951,22 @@ def minmax_bwd_padded(phi_pad, g_pad, dx, h1, band_radius, threshold, *,
     scalar_shape = jax.ShapeDtypeStruct((1, 1), dt)
     smem_out = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                             memory_space=pltpu.SMEM)
+    in_specs = [scalar, scalar, scalar, scalar, int_scalar, int_scalar]
+    args = [s(dx), s(h1), s(band_radius), s(threshold),
+            jnp.reshape(jnp.asarray(offsets[0], jnp.int32), (1, 1)),
+            jnp.reshape(jnp.asarray(offsets[1], jnp.int32), (1, 1))]
+    if active is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(jnp.asarray(active, jnp.int32))
+    in_specs += [pl.BlockSpec(memory_space=pl.ANY),
+                 pl.BlockSpec(memory_space=pl.ANY)]
+    args += [phi_pad, g_pad]
     cot_phi, cot_dx, cot_h1 = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct(phi_pad.shape, dt),
                    scalar_shape, scalar_shape),
         grid=(nxp // tx, nyp // ty),
-        in_specs=[scalar, scalar, scalar, scalar, int_scalar, int_scalar,
-                  pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=in_specs,
         out_specs=(pl.BlockSpec(memory_space=pl.ANY), smem_out, smem_out),
         scratch_shapes=[
             pltpu.VMEM((2, wxb, wy, nzp), dt),
@@ -896,10 +981,7 @@ def minmax_bwd_padded(phi_pad, g_pad, dx, h1, band_radius, threshold, *,
             vmem_limit_bytes=int(vmem_limit),
         ),
         interpret=interpret,
-    )(s(dx), s(h1), s(band_radius), s(threshold),
-      jnp.reshape(jnp.asarray(offsets[0], jnp.int32), (1, 1)),
-      jnp.reshape(jnp.asarray(offsets[1], jnp.int32), (1, 1)),
-      phi_pad, g_pad)
+    )(*args)
     return cot_phi, cot_dx[0, 0], cot_h1[0, 0]
 
 
@@ -977,9 +1059,128 @@ def _fused_scan_bwd(steps, tile, interpret, res, g):
 _fused_scan.defvjp(_fused_scan_fwd, _fused_scan_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _banded_scan_mm(phi0, dx, h1, band_radius, threshold, steps,
+                    refresh_every, tile, interpret):
+    """Narrow-band differentiable min/max scan: bitwise equal to
+    :func:`_fused_scan` (banded min/max IS the dense function — frozen
+    tiles could never have changed), executed with tile skipping in BOTH
+    sweeps.  Forward chunks refresh an owned-cell mask (exact, no
+    margin); the backward recomputes each chunk's trajectory and runs
+    the banded adjoint with a ±1-dilated (band4) mask from the same
+    chunk-start iterate — the in-band set only ever shrinks, so the
+    chunk-start dilation covers every step in the chunk."""
+    from .weno_pallas import tile_activity
+    gshape = phi0.shape
+    pad = pad_for_pallas(phi0, tile)
+    kw = dict(gshape=gshape, tile=tile, interpret=interpret)
+    r = min(int(refresh_every), int(steps)) if steps else 1
+    n_full, rem = divmod(int(steps), r)
+
+    def chunk(p, nsteps):
+        active = tile_activity(p, gshape, tile, dx, band_radius,
+                               window="owned")
+
+        def step(q, _):
+            return minmax_step_padded(q, dx, h1, band_radius, threshold,
+                                      active=active, **kw), None
+
+        out, _ = jax.lax.scan(step, p, None, length=nsteps)
+        return out
+
+    def body(p, _):
+        return chunk(p, r), None
+
+    pad, _ = jax.lax.scan(body, pad, None, length=n_full)
+    if rem:
+        pad = chunk(pad, rem)
+    return crop_from_pallas(pad, gshape)
+
+
+def _banded_scan_mm_fwd(phi0, dx, h1, band_radius, threshold, steps,
+                        refresh_every, tile, interpret):
+    from .weno_pallas import tile_activity
+    gshape = phi0.shape
+    pad0 = pad_for_pallas(phi0, tile)
+    kw = dict(gshape=gshape, tile=tile, interpret=interpret)
+    r = min(int(refresh_every), int(steps)) if steps else 1
+    n_full, rem = divmod(int(steps), r)
+
+    def chunk(p, nsteps):
+        active = tile_activity(p, gshape, tile, dx, band_radius,
+                               window="owned")
+
+        def step(q, _):
+            return minmax_step_padded(q, dx, h1, band_radius, threshold,
+                                      active=active, **kw), None
+
+        out, _ = jax.lax.scan(step, p, None, length=nsteps)
+        return out
+
+    def body(p, _):
+        return chunk(p, r), p               # stash chunk-START iterate
+
+    p_end, snaps = jax.lax.scan(body, pad0, None, length=n_full)
+    rem_start = p_end if rem else None
+    out = chunk(p_end, rem) if rem else p_end
+    return (crop_from_pallas(out, gshape),
+            (phi0, dx, h1, band_radius, threshold, snaps, rem_start))
+
+
+def _banded_scan_mm_bwd(steps, refresh_every, tile, interpret, res, g):
+    from .weno_pallas import pad_zero_for_pallas, tile_activity
+    phi0, dx, h1, band_radius, threshold, snaps, rem_start = res
+    gshape = phi0.shape
+    kw = dict(gshape=gshape, tile=tile, interpret=interpret)
+    r = min(int(refresh_every), int(steps)) if steps else 1
+    n_full, rem = divmod(int(steps), r)
+    zero = jnp.zeros((), phi0.dtype)
+
+    def chunk_bwd(carry, p_start, nsteps):
+        act_f = tile_activity(p_start, gshape, tile, dx, band_radius,
+                              window="owned")
+        act_b = tile_activity(p_start, gshape, tile, dx, band_radius,
+                              window="band4")
+
+        def fscan(q, _):
+            return minmax_step_padded(q, dx, h1, band_radius, threshold,
+                                      active=act_f, **kw), q
+
+        _, traj = jax.lax.scan(fscan, p_start, None, length=nsteps)
+
+        def bstep(c, p_in):
+            gp, cdx_acc, ch_acc = c
+            cp, cdx, ch = minmax_bwd_padded(p_in, gp, dx, h1, band_radius,
+                                            threshold, active=act_b, **kw)
+            return (cp, cdx_acc + cdx, ch_acc + ch), None
+
+        c, _ = jax.lax.scan(bstep, carry, traj, reverse=True)
+        return c
+
+    carry = (pad_zero_for_pallas(g, tile), zero, zero)
+    if rem:
+        carry = chunk_bwd(carry, rem_start, rem)
+
+    def body(c, p_start):
+        return chunk_bwd(c, p_start, r), None
+
+    carry, _ = jax.lax.scan(body, carry, snaps, reverse=True)
+    gp, cdx, ch1 = carry
+    return (crop_from_pallas(gp, gshape), cdx, ch1, zero, zero)
+
+
+_banded_scan_mm.defvjp(_banded_scan_mm_fwd, _banded_scan_mm_bwd)
+
+
 def minmax_scan_pallas(phi0, dx, h1, steps: int, *, band_radius=4.1,
-                       threshold=0.0, tile=None, interpret=None):
-    """``steps`` fused min/max smoothing steps (persistent padded layout)."""
+                       threshold=0.0, tile=None, interpret=None,
+                       banded=False, refresh_every: int = 16):
+    """``steps`` fused min/max smoothing steps (persistent padded layout).
+
+    ``banded=True`` runs the narrow-band differentiable variant — same
+    values and gradients (banded min/max equals the dense function), but
+    frozen tiles are skipped in both the forward and adjoint sweeps
+    (see :func:`_banded_scan_mm`)."""
     phi0 = jnp.asarray(phi0)
     from .weno_pallas import best_axis_order, inverse_perm
     perm = best_axis_order(phi0.shape)
@@ -987,7 +1188,8 @@ def minmax_scan_pallas(phi0, dx, h1, steps: int, *, band_radius=4.1,
         out = minmax_scan_pallas(jnp.transpose(phi0, perm), dx, h1, steps,
                                  band_radius=band_radius,
                                  threshold=threshold, tile=tile,
-                                 interpret=interpret)
+                                 interpret=interpret, banded=banded,
+                                 refresh_every=refresh_every)
         return jnp.transpose(out, inverse_perm(perm))
     if not pallas_supported(phi0.shape, phi0.dtype):
         from ..solvers.minmax_flow import minmax_flow_fixed
@@ -999,6 +1201,13 @@ def minmax_scan_pallas(phi0, dx, h1, steps: int, *, band_radius=4.1,
     if tile is None:
         tile = _pick_tile(phi0.shape)
     dt = phi0.dtype
+    if banded:
+        return _banded_scan_mm(phi0, jnp.asarray(dx, dt),
+                               jnp.asarray(h1, dt),
+                               jnp.asarray(band_radius, dt),
+                               jnp.asarray(threshold, dt), int(steps),
+                               int(refresh_every), tuple(tile),
+                               bool(interpret))
     return _fused_scan(phi0, jnp.asarray(dx, dt), jnp.asarray(h1, dt),
                        jnp.asarray(band_radius, dt),
                        jnp.asarray(threshold, dt), int(steps), tuple(tile),

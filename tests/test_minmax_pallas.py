@@ -98,3 +98,34 @@ def test_band_gate_freezes_far_field():
     far = np.abs(np.asarray(phi)) >= 4.1 * dx
     np.testing.assert_array_equal(np.asarray(out)[far],
                                   np.asarray(phi)[far])
+
+
+def test_banded_scan_matches_dense_forward_and_grad():
+    """Banded differentiable min/max scan (VERDICT r4 next #4): identical
+    VALUES to the dense fused scan (banded min/max IS the dense function)
+    and matching gradients — frozen tiles are identity passthroughs in
+    the adjoint (minmax_bwd_padded's banded mode)."""
+    import numpy as np
+    from levelsetfortran_tpu.ops.minmax_pallas import minmax_scan_pallas
+    n = (32, 32, 32)
+    xs = np.linspace(-1, 1, 32)
+    gx, gy, gz = np.meshgrid(xs, xs, xs, indexing="ij")
+    phi0 = jnp.asarray((np.sqrt((gx + 0.5) ** 2 + gy ** 2 + gz ** 2)
+                        - 0.25).astype(np.float32))
+    dx = 2.0 / 31
+    h1 = 0.01 * dx * dx
+    kw = dict(band_radius=4.1, threshold=0.0, tile=(8, 8))
+    dense = minmax_scan_pallas(phi0, dx, h1, 7, **kw)
+    banded = minmax_scan_pallas(phi0, dx, h1, 7, banded=True,
+                                refresh_every=3, **kw)
+    np.testing.assert_array_equal(np.asarray(banded), np.asarray(dense))
+
+    w = jnp.asarray(np.random.default_rng(1).standard_normal(n), jnp.float32)
+    g_d = jax.grad(lambda p: jnp.sum(
+        w * minmax_scan_pallas(p, dx, h1, 7, **kw)))(phi0)
+    g_b = jax.grad(lambda p: jnp.sum(
+        w * minmax_scan_pallas(p, dx, h1, 7, banded=True, refresh_every=3,
+                               **kw)))(phi0)
+    assert float(jnp.max(jnp.abs(g_d))) > 0
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_d),
+                               atol=1e-6, rtol=1e-5)
