@@ -281,7 +281,9 @@ def _minmax_narrowband_core(phi0, dx, h1, iters: int, tol, *, band_radius,
                                                active=active, carry=cr,
                                                with_rms=True, **kw)
         rms = jnp.sqrt(dsq / denom)
-        emit_iteration("minmax_narrowband", metrics_every,
+        every = (chunk_steps * max(1, metrics_every // chunk_steps)
+                 if metrics_every else 0)
+        emit_iteration("minmax_narrowband", every,
                        n + chunk_steps, rms, band_tiles=jnp.sum(active),
                        cells=shape[0] * shape[1] * shape[2])
         done = (rms < tol) | jnp.isnan(rms)

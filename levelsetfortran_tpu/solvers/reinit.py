@@ -331,7 +331,12 @@ def _reinit_narrowband_core(phi0, dx, h, iters: int, tol, *, band_radius,
                                               active=active, carry=cr,
                                               with_rms=True, **kw)
         rms = jnp.sqrt(dsq / denom)
-        emit_iteration("reinit_narrowband", metrics_every,
+        # iteration counts advance in whole chunks, so the emit cadence
+        # must be a chunk multiple or it never fires (metrics_every is
+        # rounded to the nearest achievable chunk boundary)
+        every = chunk * max(1, metrics_every // chunk) if metrics_every \
+            else 0
+        emit_iteration("reinit_narrowband", every,
                        n + chunk, rms,
                        band_tiles=jnp.sum(active != 0),
                        cells=shape[0] * shape[1] * shape[2])

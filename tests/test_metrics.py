@@ -57,7 +57,9 @@ def test_narrowband_emits_band_occupancy():
     r.phi.block_until_ready()
     evs = [e for e in stream.events
            if e["stage_name"] == "reinit_narrowband"]
-    assert sorted(e["iteration"] for e in evs) == [4, 8]
+    # r5 zero-copy chunking: 1 passthrough + 2*(refresh_every//2) paired
+    # steps per chunk => chunks of 5; counts round up to whole chunks
+    assert sorted(e["iteration"] for e in evs) == [5, 10]
     assert all(e["band_tiles"] >= 1 for e in evs)
 
 
