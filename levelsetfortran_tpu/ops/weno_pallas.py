@@ -1312,6 +1312,16 @@ def tile_activity(phi_pad, gshape, tile, dx, radius_cells, margin_cells=0.0,
         bits = act3.astype(jnp.int32) << jnp.arange(nzg, dtype=jnp.int32)
         return jnp.sum(bits, axis=2)
 
+    def zmin_blocks(v, blk):
+        """Min over contiguous z blocks of size ``blk`` (a power of two)
+        via strided halvings — a (..., nz/blk, blk) reshape would put a
+        tiny dim in lanes and materialize a 16-32x-padded layout
+        (measured OOM at 512^3)."""
+        while blk > 1:
+            v = jnp.minimum(v[..., 0::2], v[..., 1::2])
+            blk //= 2
+        return v
+
     if window == "owned":
         # min/max criterion: a tile computes iff one of its OWNED cells is
         # in band — EXACT there (the update gate is the cell's own value,
@@ -1335,10 +1345,10 @@ def tile_activity(phi_pad, gshape, tile, dx, radius_cells, margin_cells=0.0,
         # one pass, then exact +-4 window combines on the block grid
         # (XA - 4 == 0 and YA - 4 == 4 are both 4-aligned, so the windows
         # land exactly — no over-dilation).
-        zq = nzp if szc is None else 4
-        m1 = a.reshape(phi_pad.shape[0] // 4, 4,
-                       phi_pad.shape[1] // 4, 4,
-                       nzp // zq, zq).min(axis=(1, 3, 5))
+        az = (a.min(axis=2, keepdims=True) if szc is None
+              else zmin_blocks(a, 4))
+        m1 = az.reshape(phi_pad.shape[0] // 4, 4,
+                        phi_pad.shape[1] // 4, 4, -1).min(axis=(1, 3))
         sxb, syb = tx // 4, ty // 4
         parts = [m1[i:i + sxb * nbx:sxb, 1 + j:1 + j + syb * nby:syb, :]
                  for i in range(sxb + 2) for j in range(syb + 2)]
@@ -1368,9 +1378,9 @@ def tile_activity(phi_pad, gshape, tile, dx, radius_cells, margin_cells=0.0,
     # stages: non-overlapping (8, 8, zb) sub-block mins in ONE pass, then
     # a few shifted-slice mins on the tiny block grid.
     zb = 8
-    m1 = a.reshape(phi_pad.shape[0] // 8, 8,
-                   phi_pad.shape[1] // 8, 8,
-                   nzp // zb, zb).min(axis=(1, 3, 5))
+    m1 = zmin_blocks(a, zb).reshape(phi_pad.shape[0] // 8, 8,
+                                    phi_pad.shape[1] // 8, 8,
+                                    -1).min(axis=(1, 3))
     wxb = (tx + 2 * XA) // 8          # tile window extents in sub-blocks
     wyb = (ty + 2 * YA) // 8
     sxb, syb = tx // 8, ty // 8       # tile strides in sub-blocks
@@ -1395,28 +1405,21 @@ def tile_activity(phi_pad, gshape, tile, dx, radius_cells, margin_cells=0.0,
 # ----------------------------- backward kernel -----------------------------
 
 def _pick_szc(gshape, nzp):
-    """Z-chunk size for within-column narrow-band compute skipping
-    (None = column-granular only).
+    """Z-chunk size for within-column narrow-band compute skipping —
+    currently ALWAYS None: every measured configuration loses to column
+    granularity on this hardware.
 
-    szc is kept at FULL VREG WIDTH (128 lanes) or a multiple: vector
-    registers are (8, 128), so compute on a sub-128-lane chunk runs at
-    szc/128 lane utilization and its output stores straddle vregs —
-    measured at 256^3/szc=32: 4.4 ms/step vs 0.72 column-banded, i.e.
-    the ~4x lane waste fully cancels the 0.28-vs-0.48 occupancy win.
-    At szc=128 the chunks are free (aligned loads/stores, full lanes),
-    so any nzp >= 256 gets them; the z granularity this buys matters
-    most for 512^3+ columns.  Constraints: chunks tile the padded
-    column, BC clamp sources stay in-chunk (nz % szc != 1), and the
-    per-column bitmask fits int32 (nzp // szc <= 31)."""
-    nz = gshape[2]
-    if nzp < 512:
-        # 256-lane columns split into only 2 vreg-width chunks, and the
-        # measured per-chunk structure overhead (~2.3x a column step at
-        # 256^3) exceeds the occupancy win; column granularity wins there
-        return None
-    for szc in (128, 256):
-        if (nzp % szc == 0 and 4 <= nzp // szc <= 31 and nz % szc != 1):
-            return szc
+    The full measurement story (v5e, centered-sphere band): sub-vreg
+    chunks (szc=32) run at 25% lane utilization — 4.4 ms/step vs 0.72
+    column-banded at 256^3, the ~4x lane waste cancels the 0.28-vs-0.48
+    occupancy win.  Full-vreg chunks (szc=128) are lane-efficient but
+    still pay the unrolled per-chunk structure (chunk slicing, frozen-
+    chunk VPU copies, a larger scheduling window): measured 10.0 vs 8.6
+    ms/step at 512^3 DESPITE 0.25-vs-0.365 occupancy.  The kernel path
+    stays (correct, tested, reachable via the explicit ``szc`` argument)
+    as the starting point if a future Mosaic lifts the lane-alignment
+    constraint on HBM window DMAs — true sub-column banding needs the
+    TRAFFIC, not just the compute, to skip per chunk."""
     return None
 
 
