@@ -1451,3 +1451,16 @@ def dryrun(n_devices: int) -> None:
     gf = jax.grad(loss_fused)(p2)
     gf.block_until_ready()
     assert np.isfinite(np.asarray(jax.device_get(gf))).all()
+
+    # banded x sharded x differentiable product (r5): per-shard activity
+    # masks from the exchanged pads, banded adjoint with identity
+    # passthroughs on frozen tiles
+    def loss_banded(p):
+        out = reinit_fixed_sharded(mesh2d, p, dx, h, 2, use_pallas=True,
+                                   band_radius=4.1, refresh_every=2,
+                                   tile=(8, 8))
+        return jnp.sum(out * out)
+
+    gb = jax.grad(loss_banded)(p2)
+    gb.block_until_ready()
+    assert np.isfinite(np.asarray(jax.device_get(gb))).all()
