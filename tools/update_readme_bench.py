@@ -54,9 +54,9 @@ def render(d: dict) -> str:
             _g(d, "narrowband_speedup_256", scale=1.0),
             _g(d, "narrowband_speedup_flat_768x128x128", scale=1.0)),
         "  | narrow-band min/max speedup, 256³ sphere / flat | {}× / {}× "
-        "(zero-copy tile skipping: inactive tiles move no bytes via a "
-        "ping-pong carry alias; bitwise-exact, ceiling = active-column "
-        "fraction, see solvers.minmax_flow.minmax_flow_narrowband) |".format(
+        "(fused-K kernel + zero-copy tile skipping: inactive tiles move "
+        "no bytes via a ping-pong carry alias; bitwise-exact for any "
+        "step size/refresh, see solvers.minmax_flow) |".format(
             _g(d, "minmax_nb_256_speedup", scale=1.0),
             _g(d, "minmax_nb_flat_speedup", scale=1.0)),
         "  | end-to-end gradient (sqrt-N checkpointed), 200-step 256³ / "
@@ -88,6 +88,23 @@ def render(d: dict) -> str:
             _g(d, "serving_64_vmap_speedup", scale=1.0),
             _g(d, "serving_96_vmap_speedup", scale=1.0),
             _g(d, "serving_128_vmap_speedup", scale=1.0)),
+        "  | BANDED sharded gradient, 200-step 256³ | {} s ({}× vs dense "
+        "sharded) |".format(
+            _g(d, "sharded_grad_nb_256_seconds", scale=1.0, fmt="{:.1f}"),
+            _g(d, "sharded_grad_nb_256_speedup", scale=1.0)),
+        "  | END-TO-END pixels→vertices grad (config-5 chain), 256³ | "
+        "{} s (init fwd {} s dominates; reinit {} + min/max {} + render "
+        "{} s) |".format(
+            _g(d, "e2e_pixgrad_256_seconds", scale=1.0, fmt="{:.1f}"),
+            _g(d, "e2e_256_stage_init_fwd_seconds", scale=1.0,
+               fmt="{:.1f}"),
+            _g(d, "e2e_256_stage_reinit_fwd_seconds", scale=1.0),
+            _g(d, "e2e_256_stage_minmax_fwd_seconds", scale=1.0),
+            _g(d, "e2e_256_stage_render_fwd_seconds", scale=1.0)),
+        "  | node advection (1000 iters, cube40 nodes @256³) / render "
+        "256² | {} s / {} s |".format(
+            _g(d, "advect_1000iter_256_seconds", scale=1.0),
+            _g(d, "render_256x256_at_256grid_seconds", scale=1.0)),
         "",
         "  GCUPS = 1e9 cell-updates/s.  **bwd/fwd is the THROUGHPUT "
         "ratio** (adjoint GCUPS / forward GCUPS = t_fwd/t_bwd), measured "
