@@ -576,7 +576,12 @@ def bench_scaling_single(block=256):
     out = {}
     for k in (1, 2):
         s = ShardedLevelSet(mesh, gshape, dx, steps_per_exchange=k)
-        out[k] = 1.0 / measure(s, phi0, 0.1 * dx)
+        per = -1.0
+        for _ in range(3):           # relay hiccups can invert two-point
+            per = measure(s, phi0, 0.1 * dx)
+            if per > 0:
+                break
+        out[k] = 1.0 / per if per > 0 else float("nan")
     return out
 
 
@@ -607,11 +612,14 @@ def bench_e2e_pixgrad(n, reinit_steps=50, minmax_steps=20, hw=64):
     target = jnp.zeros((hw, hw), jnp.float32)
 
     @jax.jit
-    def run(vv):
-        loss, g = image_loss_and_vertex_grad(vv, e, grid, target, **kw)
+    def run(vv, cull_arg):
+        # culling passed as an ARGUMENT: closure-captured index tables
+        # become jaxpr constants and ship with every compile payload
+        loss, g = image_loss_and_vertex_grad(
+            vv, e, grid, target, **dict(kw, culling=cull_arg))
         return loss + jnp.sum(g)
 
-    t_total = timed_min(run, v)
+    t_total = timed_min(run, v, cull)
 
     # forward stage decomposition (each stage timed on its own inputs)
     dx = grid.dx
@@ -657,11 +665,12 @@ def bench_e2e_pixgrad_sharded(n, reinit_steps=20, minmax_steps=10, hw=64):
               height=hw, width=hw, culling=cull, mesh=dev_mesh)
 
     @jax.jit
-    def run(vv):
-        loss, g = image_loss_and_vertex_grad(vv, e, grid, target, **kw)
+    def run(vv, cull_arg):
+        loss, g = image_loss_and_vertex_grad(
+            vv, e, grid, target, **dict(kw, culling=cull_arg))
         return loss + jnp.sum(g)
 
-    return timed_min(run, v)
+    return timed_min(run, v, cull)
 
 
 def bench_advect(n, iters=1000):
@@ -793,8 +802,11 @@ def main():
         ("serving_96", lambda: bench_serving(96, 4)),
         ("serving_128", lambda: bench_serving(128, 2)),
         ("e2e_pixgrad_256", lambda: bench_e2e_pixgrad(256)),
-        ("e2e_pixgrad_512_sharded",
-         lambda: bench_e2e_pixgrad_sharded(512)),
+        # 384+ crashes the tunneled worker (compile-memory/HBM limits of
+        # the single chip behind the relay); 256 exercises the same
+        # sharded init+reinit+minmax+render reverse-mode composition
+        ("e2e_pixgrad_256_sharded",
+         lambda: bench_e2e_pixgrad_sharded(256)),
         ("advect_256", lambda: bench_advect(256)),
         ("scaling_single", lambda: bench_scaling_single(256)),
         ("render_256", lambda: bench_render(256)),
@@ -853,8 +865,8 @@ def main():
                 for k in ("build", "init_fwd", "reinit_fwd", "minmax_fwd",
                           "render_fwd"):
                     detail[f"e2e_256_stage_{k}_seconds"] = st[k]
-            elif name == "e2e_pixgrad_512_sharded":
-                detail["e2e_pixgrad_512_sharded_seconds"] = fn()
+            elif name == "e2e_pixgrad_256_sharded":
+                detail["e2e_pixgrad_256_sharded_seconds"] = fn()
             elif name == "advect_256":
                 a_t, a_nodes = fn()
                 detail["advect_1000iter_256_seconds"] = a_t
