@@ -296,3 +296,69 @@ def test_minmax_narrowband_odd_refresh_and_tail():
         assert int(banded.iterations) == iters
         np.testing.assert_array_equal(np.asarray(banded.phi),
                                       np.asarray(dense.phi))
+
+
+def test_zchunk_kernel_modes_match_dense():
+    """The z-chunk bitmask kernel mode (reachable via the explicit ``szc``
+    argument; auto-routing is off — see weno_pallas._pick_szc's measured
+    rationale): all-active chunks are bitwise dense, frozen chunks pass
+    through exactly, and the zero-copy carry mode matches passthrough."""
+    from levelsetfortran_tpu.ops import weno_pallas as wp
+    nx, ny, nz = 24, 24, 256
+    rng = np.random.default_rng(3)
+    xs = np.linspace(-1, 1, nx)
+    zs = np.linspace(-1, 1, nz)
+    gx, gy, gz = np.meshgrid(xs, xs, zs, indexing="ij")
+    phi = jnp.asarray((np.sqrt(gx**2 + gy**2 + gz**2) - 0.55)
+                      .astype(np.float32))
+    dx = jnp.float32(2.0 / (nz - 1))
+    h = jnp.float32(0.1 * 2.0 / (nz - 1))
+    tile = (8, 8)
+    pp = wp.pad_for_pallas(phi, tile)
+    gshape = (nx, ny, nz)
+    kw = dict(gshape=gshape, eps_scale=1e-6, eps_floor=1e-6,
+              quirk_y_p5_zero=False, tile=tile, interpret=True,
+              precise=True)
+    dense = wp.crop_from_pallas(
+        wp._pallas_step_padded(pp, pp, dx, h, **kw), gshape)
+    szc = 128
+    nzg = pp.shape[2] // szc
+    nbx = (pp.shape[0] - 2 * wp.XA) // tile[0]
+    nby = (pp.shape[1] - 2 * wp.YA) // tile[1]
+
+    # all-active bitmask == dense bitwise
+    allb = jnp.full((nbx, nby), (1 << nzg) - 1, jnp.int32)
+    z_all = wp.crop_from_pallas(wp._pallas_step_padded(
+        pp, pp, dx, h, active=allb, szc=szc, **kw), gshape)
+    np.testing.assert_array_equal(np.asarray(z_all), np.asarray(dense))
+
+    # random bitmask: frozen chunks untouched, active chunks dense
+    bits = jnp.asarray(rng.integers(0, 2 ** nzg, (nbx, nby)), jnp.int32)
+    z_m = np.asarray(wp.crop_from_pallas(wp._pallas_step_padded(
+        pp, pp, dx, h, active=bits, szc=szc, **kw), gshape))
+    b = np.asarray(bits)
+    frozen = np.ones(gshape, bool)
+    for bi in range(nbx):
+        for bj in range(nby):
+            for g in range(nzg):
+                if (b[bi, bj] >> g) & 1:
+                    frozen[bi * 8:(bi + 1) * 8, bj * 8:(bj + 1) * 8,
+                           g * szc:(g + 1) * szc] = False
+    assert frozen.any() and (~frozen).any()
+    np.testing.assert_array_equal(z_m[frozen], np.asarray(phi)[frozen])
+    np.testing.assert_array_equal(z_m[~frozen], np.asarray(dense)[~frozen])
+
+    # zero-copy carry (skip mode) composes with the bitmask
+    sentinel = pp * 0 + 7.0
+    z_c = np.asarray(wp.crop_from_pallas(wp._pallas_step_padded(
+        pp, pp, dx, h, active=bits, szc=szc, carry=sentinel, **kw),
+        gshape))
+    col_frozen = (b == 0)
+    for bi in range(nbx):
+        for bj in range(nby):
+            blk = z_c[bi * 8:(bi + 1) * 8, bj * 8:(bj + 1) * 8, :]
+            if col_frozen[bi, bj]:
+                assert np.all(blk == 7.0)      # untouched carry values
+            else:
+                np.testing.assert_array_equal(
+                    blk, z_m[bi * 8:(bi + 1) * 8, bj * 8:(bj + 1) * 8, :])
