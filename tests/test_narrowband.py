@@ -362,3 +362,53 @@ def test_zchunk_kernel_modes_match_dense():
             else:
                 np.testing.assert_array_equal(
                     blk, z_m[bi * 8:(bi + 1) * 8, bj * 8:(bj + 1) * 8, :])
+
+
+def test_tile_activity_criteria_match_bruteforce():
+    """The two-stage activity reductions (owned / band4 / stencil, column
+    and z-chunk bitmask forms) match a brute-force evaluation of their
+    documented window semantics on random data."""
+    from levelsetfortran_tpu.ops import weno_pallas as wp
+    rng = np.random.default_rng(0)
+    nx, ny, nz = 40, 24, 256
+    phi = jnp.asarray(rng.normal(2.0, 1.0, (nx, ny, nz)).astype(np.float32))
+    dx = jnp.float32(0.01)
+    tile = (8, 8)
+    pp = wp.pad_for_pallas(phi, tile)
+    thresh = (8.1 + 0.5) * 0.01
+    a = np.abs(np.asarray(phi))
+    nbx, nby = 5, 3
+
+    def brute(szc, dil_x, dil_y, dil_z):
+        nzg = 1 if szc is None else nz // szc
+        ref = np.zeros((nbx, nby), np.int32)
+        for bi in range(nbx):
+            for bj in range(nby):
+                bits = 0
+                for g in range(nzg):
+                    zc = nz if szc is None else szc
+                    x0, x1 = max(0, bi * 8 - dil_x), min(nx, bi * 8 + 8
+                                                         + dil_x)
+                    y0, y1 = max(0, bj * 8 - dil_y), min(ny, bj * 8 + 8
+                                                         + dil_y)
+                    z0, z1 = max(0, g * zc - dil_z), min(nz, g * zc + zc
+                                                         + dil_z)
+                    if (a[x0:x1, y0:y1, z0:z1] < thresh).any():
+                        bits |= 1 << g
+                ref[bi, bj] = bits if szc else (1 if bits else 0)
+        return ref
+
+    for szc in (None, 128):
+        for win, (dx_, dy_, dz_) in [("owned", (0, 0, 0)),
+                                     ("band4", (4, 4, 4)),
+                                     ("stencil", (4, 8, 8))]:
+            got = np.asarray(wp.tile_activity(
+                pp, (nx, ny, nz), tile, dx, 8.1, margin_cells=0.5,
+                szc=szc, window=win))
+            ref = brute(szc, dx_, dy_, dz_)
+            if win == "stencil" and szc is not None:
+                # szc-mode stencil z-window over-approximates ±4 to ±8
+                # (one sub-block) — supersets are sound
+                assert np.all(got & ref == ref), (win, szc)
+            else:
+                np.testing.assert_array_equal(got, ref, err_msg=f"{win}")
