@@ -285,7 +285,15 @@ def nearest_sign_scan(points, tri, feat=None, tile: int = 128,
         saa, sbb, scc = _dot(a, a), _dot(b, b), _dot(c, c)
 
         V = jnp.stack([ab, ac, nr, a], axis=1)         # (T, 4, 3)
-        G = pc @ V.reshape(-1, 3).T                    # (P, 4T)
+        # precision MUST be pinned: the TPU MXU's default bf16 passes
+        # (~8 mantissa bits) put O(0.4%) absolute errors into the
+        # quadratic forms, which breaks the Ericson region classification
+        # (d1..d6 sign tests) — measured on twoCube10 at 0.05 dx: far-field
+        # phi spikes to 2e4 and reinit never converges.  HIGHEST = full
+        # f32 accumulation; the scan's cost stays MXU-bound and small next
+        # to the (P, T) VPU algebra.
+        G = jnp.matmul(pc, V.reshape(-1, 3).T,
+                       precision=jax.lax.Precision.HIGHEST)   # (P, 4T)
         G = G.reshape(P, -1, 4)
         g1, g2, g3, g4 = G[..., 0], G[..., 1], G[..., 2], G[..., 3]
 
@@ -736,7 +744,11 @@ def nearest_centroid(points: jnp.ndarray, centroids: jnp.ndarray,
     def body(carry, tile_data):
         best_d, best_i = carry
         c_t, cn_t, base = tile_data
-        d = cn_t[None, :] - 2.0 * points @ c_t.T
+        # pinned precision: bf16 MXU default flips nearest-centroid
+        # argmins (the parity variant's sign source) — see
+        # nearest_sign_scan
+        d = cn_t[None, :] - 2.0 * jnp.matmul(
+            points, c_t.T, precision=jax.lax.Precision.HIGHEST)
         tile_best = jnp.argmin(d, axis=1)
         tile_d = jnp.take_along_axis(d, tile_best[:, None], axis=1)[:, 0]
         better = tile_d < best_d
