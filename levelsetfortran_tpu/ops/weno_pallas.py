@@ -800,7 +800,7 @@ def _tile_step_values(win, swin, dx, h, gx0, gy0, *, gshape, tile, rim,
 def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
                  ratio_floor, precise=True, ring=True, banded=False,
                  with_rms=False, tile_origin=(0, 0), aliased=False,
-                 szc=None, skip_inactive=False):
+                 szc=None, skip_inactive=False, pack=None):
     """Padded-in / padded-out kernel.  Both phi and out use the
     (nxp + 2*XA, nyp + 2*YA, nzp) layout; out aprons are left unwritten.
     ``nzp`` is the lane-aligned z extent; masks use the TRUE ``gshape``.
@@ -847,7 +847,21 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
     then computes a SUB-RECTANGLE of the padded array's tile grid —
     exchange/compute overlap splits one step into an interior-rectangle
     call (issued concurrently with the halo ppermutes) plus shell-strip
-    calls on the arrived pad, all writing one aliased output."""
+    calls on the arrived pad, all writing one aliased output.
+
+    ``pack`` (static (tpg, spt)) enables GEOMETRY PACKING: the HBM array
+    holds B same-shape geometries' padded blocks concatenated along x
+    (each block ``spt`` tile-widths wide, ``tpg`` of them owned), and the
+    tile-grid x axis spans all B blocks.  Each tile computes with its OWN
+    geometry's local coordinates (``gx0`` restarts per block) and its own
+    per-geometry ``h`` (``h_ref`` is then a (1, B) SMEM vector), so every
+    sub-grid's BC clamps and masks are exactly the solo run's — one kernel
+    launch integrates the whole serving batch (VERDICT r4 #5: below the
+    vmap crossover a single small grid under-fills the chip and pays
+    per-launch overheads B times per step).  ``with_rms`` then yields a
+    (1, B) PER-GEOMETRY sum of squared changes; ``banded`` masks freeze
+    converged geometries (all their tiles inactive) without stopping the
+    still-running ones."""
     nx, ny, nz = gshape           # TRUE grid shape (pre-padding)
     tox, toy = tile_origin
     tx, ty = tile
@@ -856,6 +870,9 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
     ex, ey = tx + 2 * rim, ty + 2 * rim
     wx, wy = tx + 2 * XA, ty + 2 * YA
     assert not (skip_inactive and aliased)
+    if pack is not None:
+        assert tile_origin == (0, 0) and not aliased \
+            and not skip_inactive and szc is None
 
     def kernel(dx_ref, h_ref, ox_ref, oy_ref, *rest):
         if with_rms:
@@ -888,8 +905,17 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
         lin = bi * nby + bj
         n_blocks = pl.num_programs(0) * nby
 
-        def in_dmas(slot, block_lin):
+        def hbm_wi(block_lin):
+            # packed serving: tile-grid row -> HBM row, skipping the 2*XA
+            # apron strip between consecutive geometries' padded blocks
             wi = tox + block_lin // nby
+            if pack is None:
+                return wi
+            tpg, spt = pack
+            return wi + (wi // tpg) * (spt - tpg)
+
+        def in_dmas(slot, block_lin):
+            wi = hbm_wi(block_lin)
             wj = toy + block_lin % nby
             p = pltpu.make_async_copy(
                 phi_hbm.at[pl.ds(wi * tx, wx), pl.ds(wj * ty, wy), :],
@@ -904,7 +930,7 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
 
         def in_dma_small(slot, block_lin):
             # inactive tile: only the owned region moves (passthrough copy)
-            wi = tox + block_lin // nby
+            wi = hbm_wi(block_lin)
             wj = toy + block_lin % nby
             return pltpu.make_async_copy(
                 phi_hbm.at[pl.ds(XA + wi * tx, tx),
@@ -956,7 +982,7 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
                     in_dma_small(slot, block_lin).wait()
 
         def out_dma(slot, block_lin):
-            wi = tox + block_lin // nby
+            wi = hbm_wi(block_lin)
             wj = toy + block_lin % nby
             return pltpu.make_async_copy(
                 oslab.at[slot],
@@ -976,10 +1002,16 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
         slot = lin % 2
 
         dx = dx_ref[0, 0]
-        h = h_ref[0, 0]
         # ox/oy carry this block's global origin (0 single-device; the
-        # shard's offset under domain decomposition).
-        gx0 = ox_ref[0, 0] + (tox + bi) * tx - rim
+        # shard's offset under domain decomposition).  Under packing, the
+        # global x coordinate restarts at each geometry's block and h is
+        # that geometry's own pseudo-time step.
+        if pack is None:
+            h = h_ref[0, 0]
+            gx0 = ox_ref[0, 0] + (tox + bi) * tx - rim
+        else:
+            h = h_ref[0, bi // pack[0]]
+            gx0 = ox_ref[0, 0] + (bi % pack[0]) * tx - rim
         gy0 = oy_ref[0, 0] + (toy + bj) * ty - rim
 
         def compute():
@@ -1029,9 +1061,20 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
                 wait_out(lin)
 
         if with_rms:
-            @pl.when(lin == 0)
+            # under packing the accumulator restarts per geometry (tiles of
+            # geometry g are the contiguous lin range [g*glen, (g+1)*glen))
+            # and lands in that geometry's rms_ref slot
+            glen = n_blocks if pack is None else pack[0] * nby
+
+            @pl.when(lin % glen == 0)
             def _():
                 racc[0] = jnp.zeros((), pslab.dtype)
+
+        def store_rms():
+            if pack is None:
+                rms_ref[0, 0] = racc[0]
+            else:
+                rms_ref[0, lin // glen] = racc[0]
 
         if banded and szc is not None:
             # within-column z-chunk compute skipping: the column window is
@@ -1078,7 +1121,7 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
                 do_column()
 
             if with_rms:
-                rms_ref[0, 0] = racc[0]
+                store_rms()
             drain()
             return
 
@@ -1101,7 +1144,7 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
                 out_dma(slot, lin).start()
 
             if with_rms:
-                rms_ref[0, 0] = racc[0]
+                store_rms()
             drain()
             return
 
@@ -1118,7 +1161,7 @@ def _make_kernel(gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
                           out_tile - pslab[slot, XA:XA + tx, YA:YA + ty, :],
                           0.0)
             racc[0] += jnp.sum(d * d)
-            rms_ref[0, 0] = racc[0]
+            store_rms()
 
         # write-back: wait for this slot's previous write, then start ours;
         # drain both slots on the last block.
@@ -1179,6 +1222,38 @@ def pad_for_pallas(phi, tile):
 def crop_from_pallas(phi_pad, gshape):
     nx, ny, nz = gshape
     return phi_pad[XA:XA + nx, YA:YA + ny, :nz]
+
+
+def pack_tile(gshape) -> Tuple[int, int]:
+    """Tile for PACKED execution: tx is pinned to 8 == 2 * XA so every
+    geometry's padded block (nxp + 2 * XA) spans a whole number of tile
+    widths — the packing invariant.  ``_pick_tile`` would drop to tx == 7
+    when nx % 8 == 1 to shed the BC ring; packing instead keeps tx == 8
+    and pays the ring (the kernel adds it automatically via
+    ``_needs_ring``)."""
+    return 8, _pick_tile(gshape)[1]
+
+
+def pack_for_pallas(phis, tile):
+    """Pack a (B, nx, ny, nz) geometry batch into ONE padded-layout array:
+    each geometry's :func:`pad_for_pallas` block, concatenated along x.
+
+    With ``tile`` from :func:`pack_tile` (tx == 2 * XA == 8) every block
+    spans a whole number of tile widths, so the packed array is a valid
+    tile grid for the fused kernel's ``pack`` mode — one launch per step
+    serves the whole batch (each sub-grid keeps solo-exact BC masks from
+    its own local coordinates; the inter-block apron strips are never
+    computed)."""
+    padded = jax.vmap(lambda p: pad_for_pallas(p, tile))(phis)
+    return padded.reshape((-1,) + padded.shape[2:])
+
+
+def unpack_from_pallas(packed, b, gshape):
+    """Crop every geometry's true grid back out of a packed-layout array."""
+    sxp = packed.shape[0] // b
+    blocks = packed.reshape((b, sxp) + packed.shape[1:])
+    nx, ny, nz = gshape
+    return blocks[:, XA:XA + nx, YA:YA + ny, :nz]
 
 
 def best_axis_order(shape) -> Tuple[int, int, int]:
@@ -1854,13 +1929,13 @@ def _pallas_bwd_padded(phi_pad, sign_pad, g_pad, dx, h, *, gshape, eps_scale,
 
 @functools.partial(jax.jit, static_argnames=(
     "gshape", "eps_scale", "eps_floor", "quirk_y_p5_zero", "tile",
-    "interpret", "precise", "with_rms", "tile_range", "szc"),
+    "interpret", "precise", "with_rms", "tile_range", "szc", "pack"),
     donate_argnames=("carry",))
 def _pallas_step_padded(phi_pad, sign_pad, dx, h, *, gshape, eps_scale,
                         eps_floor, quirk_y_p5_zero, tile, interpret,
                         precise=True, offsets=None, active=None,
                         with_rms=False, rms_bounds=None, tile_range=None,
-                        out_init=None, szc=None, carry=None):
+                        out_init=None, szc=None, carry=None, pack=None):
     """One step on padded-layout arrays; output aprons are undefined.
 
     ``gshape`` is the TRUE GLOBAL grid shape (mask bounds).  ``offsets``
@@ -1886,6 +1961,13 @@ def _pallas_step_padded(phi_pad, sign_pad, dx, h, *, gshape, eps_scale,
     sub-rectangle of the tile grid; ``out_init`` (same shape as the
     output) is then aliased as the output so several sub-range calls
     compose one full step — the exchange/compute-overlap building block.
+
+    ``pack`` (static int B) treats ``phi_pad`` as B same-shape geometries'
+    padded blocks concatenated along x (built by :func:`pack_for_pallas`);
+    ``gshape`` is then the PER-GEOMETRY true shape, ``h`` may be a (B,)
+    per-geometry vector, ``active`` covers the raw (B*tpg, nby) tile grid,
+    and ``with_rms`` returns a (B,) per-geometry change vector — one
+    kernel launch steps the whole serving batch with solo-exact BCs.
     """
     nx, ny, nz = gshape
     tx, ty = tile
@@ -1895,9 +1977,20 @@ def _pallas_step_padded(phi_pad, sign_pad, dx, h, *, gshape, eps_scale,
     nzp = phi_pad.shape[2]
     if offsets is None:
         offsets = (jnp.int32(0), jnp.int32(0))
-    if tile_range is None:
+    if pack is not None:
+        assert tile_range is None and out_init is None and carry is None \
+            and szc is None
+        sxp = phi_pad.shape[0] // pack      # per-geometry padded x extent
+        nxp_g = sxp - 2 * XA
+        assert sxp * pack == phi_pad.shape[0] and sxp % tx == 0 \
+            and nxp_g % tx == 0, "packed blocks must be tile-aligned"
+        pack_k = (nxp_g // tx, sxp // tx)   # (tpg, spt)
+        tile_origin, grid = (0, 0), (pack * pack_k[0], nyp // ty)
+    elif tile_range is None:
+        pack_k = None
         tile_origin, grid = (0, 0), (nxp // tx, nyp // ty)
     else:
+        pack_k = None
         tox, nbx_sub, toy, nby_sub = tile_range
         tile_origin, grid = (tox, toy), (nbx_sub, nby_sub)
     ratio_floor = 1e-70 if phi_pad.dtype == jnp.float64 else 1e-7
@@ -1912,7 +2005,8 @@ def _pallas_step_padded(phi_pad, sign_pad, dx, h, *, gshape, eps_scale,
         gshape, tile, nzp, eps_scale, eps_floor, quirk_y_p5_zero,
         ratio_floor, precise=precise or interpret, ring=ring, banded=banded,
         with_rms=with_rms, tile_origin=tile_origin,
-        aliased=out_init is not None, szc=szc, skip_inactive=skip)
+        aliased=out_init is not None, szc=szc, skip_inactive=skip,
+        pack=pack_k)
 
     scalar_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM)
@@ -1924,13 +2018,20 @@ def _pallas_step_padded(phi_pad, sign_pad, dx, h, *, gshape, eps_scale,
     vmem_limit = min(100 * 1024 * 1024, int(slab_bytes + 70 * ext_bytes))
     int_scalar = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                               memory_space=pltpu.SMEM)
+    if pack is None:
+        h_arg = jnp.reshape(h, (1, 1))
+        h_spec = scalar_spec
+    else:
+        h_arg = jnp.reshape(jnp.broadcast_to(
+            jnp.asarray(h, phi_pad.dtype), (pack,)), (1, pack))
+        h_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     in_specs = [
         scalar_spec,
-        scalar_spec,
+        h_spec,
         int_scalar,
         int_scalar,
     ]
-    args = [jnp.reshape(dx, (1, 1)), jnp.reshape(h, (1, 1)),
+    args = [jnp.reshape(dx, (1, 1)), h_arg,
             jnp.reshape(jnp.asarray(offsets[0], jnp.int32), (1, 1)),
             jnp.reshape(jnp.asarray(offsets[1], jnp.int32), (1, 1))]
     if with_rms:
@@ -1965,10 +2066,11 @@ def _pallas_step_padded(phi_pad, sign_pad, dx, h, *, gshape, eps_scale,
         pltpu.SemaphoreType.DMA((2,)),
     ]
     if with_rms:
+        rms_w = 1 if pack is None else pack
         out_shape = (out_shape,
-                     jax.ShapeDtypeStruct((1, 1), phi_pad.dtype))
+                     jax.ShapeDtypeStruct((1, rms_w), phi_pad.dtype))
         out_specs = (out_specs,
-                     pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                     pl.BlockSpec((1, rms_w), lambda i, j: (0, 0),
                                   memory_space=pltpu.SMEM))
         scratch = scratch + [pltpu.SMEM((1,), phi_pad.dtype)]
     res = pl.pallas_call(
@@ -1986,7 +2088,7 @@ def _pallas_step_padded(phi_pad, sign_pad, dx, h, *, gshape, eps_scale,
         interpret=interpret,
     )(*args)
     if with_rms:
-        return res[0], res[1][0, 0]
+        return res[0], (res[1][0, 0] if pack is None else res[1][0, :])
     return res
 
 
@@ -2466,3 +2568,39 @@ def reinit_scan_pallas(phi0, dx, h, steps: int, *, eps_scale=1e-6,
                        jnp.asarray(h, phi0.dtype), int(steps),
                        float(eps_scale), eps_floor, bool(quirk_y_p5_zero),
                        tile, interpret, bool(precise))
+
+
+def reinit_scan_pallas_packed(phis, dx, h, steps: int, *, eps_scale=1e-6,
+                              eps_floor=None, quirk_y_p5_zero=False,
+                              tile=None, interpret=None, precise=False):
+    """``steps`` fused reinit steps over a PACKED geometry batch.
+
+    ``phis`` is ``(B, nx, ny, nz)``; the batch is packed along x into one
+    padded array (:func:`pack_for_pallas`) and every step is ONE kernel
+    launch covering all B sub-grids with solo-exact BC masks — the serving
+    formulation for grids below the vmap/sequential crossover, where a
+    single small grid under-fills the chip and B per-geometry launches per
+    step pay B dispatch overheads (VERDICT r4 #5).  ``h`` may be scalar or
+    a per-geometry ``(B,)`` vector.  Sign source is frozen at phis.
+    Forward-only (serving); for gradients use :func:`reinit_scan_pallas`
+    per geometry.
+    """
+    phis = jnp.asarray(phis)
+    b = phis.shape[0]
+    gshape = phis.shape[1:]
+    eps_floor, _, interpret = _resolve(phis[0], eps_floor, tile, interpret)
+    tile = pack_tile(gshape) if tile is None else tuple(tile)
+    assert pallas_supported(gshape, phis.dtype)
+    packed0 = pack_for_pallas(phis, tile)
+    dxa = jnp.asarray(dx, phis.dtype)
+    ha = jnp.asarray(h, phis.dtype)
+
+    def step(p, _):
+        out = _pallas_step_padded(
+            p, packed0, dxa, ha, gshape=gshape, eps_scale=eps_scale,
+            eps_floor=eps_floor, quirk_y_p5_zero=quirk_y_p5_zero,
+            tile=tile, interpret=interpret, precise=precise, pack=b)
+        return out, None
+
+    out, _ = jax.lax.scan(step, packed0, None, length=steps)
+    return unpack_from_pallas(out, b, gshape)

@@ -121,6 +121,116 @@ def reinit_batched(phi0, dx, h, iters: int, tol, *, sign_src=None,
     return phi, counts, rms, jnp.isnan(rms)
 
 
+@partial(jax.jit, static_argnames=("iters", "eps_scale", "eps_floor",
+                                   "quirk_y_p5_zero"))
+def reinit_batched_packed(phi0, dx, h, iters: int, tol, *, eps_scale=1e-6,
+                          eps_floor=None, quirk_y_p5_zero=False):
+    """Batched eikonal reinit on the PACKED fused kernel: the ``(B, ...)``
+    stack is packed along x into ONE padded array
+    (:func:`~..ops.weno_pallas.pack_for_pallas`) and every iteration is a
+    single kernel launch covering all B sub-grids with solo-exact BC masks
+    — below the vmap crossover a single small grid under-fills the chip
+    and B per-geometry launches per step pay B dispatch overheads
+    (VERDICT r4 #5; measured 1.5-1.9x over the vmapped jnp step at
+    64-128^3 on v5e).
+
+    Same signature/return as :func:`reinit_batched`.  Per-element
+    convergence freezing uses the kernel's banded passthrough (a converged
+    geometry's tiles go inactive: owned cells copied unchanged), and the
+    fused per-geometry RMS drives each element's stop rule — element
+    trajectories equal solo fused :func:`~..solvers.reinit.reinit` runs.
+    """
+    from ..ops import weno_pallas as wp
+    b = phi0.shape[0]
+    gshape = phi0.shape[1:]
+    eps_floor_r, _, interp = wp._resolve(phi0[0], eps_floor, None, None)
+    tile = wp.pack_tile(gshape)
+    packed0 = wp.pack_for_pallas(phi0, tile)
+    tpg = wp._ceil_to(gshape[0], tile[0]) // tile[0]
+    nby = wp._ceil_to(gshape[1], tile[1]) // tile[1]
+    dxa = jnp.asarray(dx, phi0.dtype)
+    ha = jnp.broadcast_to(jnp.asarray(h, phi0.dtype), (b,))
+    denom = (gshape[0] - 1) * (gshape[1] - 1) * (gshape[2] - 1)
+
+    def cond(state):
+        _, n, _, _, done = state
+        return (~jnp.all(done)) & (n < iters)
+
+    def body(state):
+        p, n, counts, rms, done = state
+        active = jnp.broadcast_to(
+            jnp.repeat((~done).astype(jnp.int32), tpg)[:, None],
+            (b * tpg, nby))
+        new, dsq = wp._pallas_step_padded(
+            p, packed0, dxa, ha, gshape=gshape, eps_scale=eps_scale,
+            eps_floor=eps_floor_r, quirk_y_p5_zero=quirk_y_p5_zero,
+            tile=tile, interpret=interp, precise=False, with_rms=True,
+            active=active, pack=b)
+        step_rms = jnp.sqrt(dsq / denom)
+        rms = jnp.where(done, rms, step_rms)
+        counts = counts + jnp.where(done, 0, 1).astype(jnp.int32)
+        done = done | (step_rms < tol) | jnp.isnan(step_rms)
+        return (new, n + 1, counts, rms, done)
+
+    init = (packed0, jnp.int32(0), jnp.zeros((b,), jnp.int32),
+            jnp.full((b,), jnp.inf, phi0.dtype), jnp.zeros((b,), bool))
+    p, _, counts, rms, _ = jax.lax.while_loop(cond, body, init)
+    return (wp.unpack_from_pallas(p, b, gshape), counts, rms,
+            jnp.isnan(rms))
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def minmax_batched_packed(phi0, dx, h1, iters: int, tol, *,
+                          band_radius=4.1, threshold=0.0):
+    """Batched min/max smoothing on the PACKED fused kernel (see
+    :func:`reinit_batched_packed`); default configuration only (Laplacian
+    proxy, ``avg_halfwidth=1`` — :func:`minmax_pallas_applicable`)."""
+    from ..ops import weno_pallas as wp
+    from ..ops.minmax_pallas import _pick_tile, minmax_step_padded
+    b = phi0.shape[0]
+    gshape = phi0.shape[1:]
+    tile = _pick_tile(gshape)
+    interp = jax.default_backend() != "tpu"
+    packed0 = wp.pack_for_pallas(phi0, tile)
+    tpg = wp._ceil_to(gshape[0], tile[0]) // tile[0]
+    nby = wp._ceil_to(gshape[1], tile[1]) // tile[1]
+    dxa = jnp.asarray(dx, phi0.dtype)
+    ha = jnp.broadcast_to(jnp.asarray(h1, phi0.dtype), (b,))
+    denom = (gshape[0] - 1) * (gshape[1] - 1) * (gshape[2] - 1)
+
+    def cond(state):
+        _, n, _, _, done = state
+        return (~jnp.all(done)) & (n < iters)
+
+    def body(state):
+        p, n, counts, rms, done = state
+        active = jnp.broadcast_to(
+            jnp.repeat((~done).astype(jnp.int32), tpg)[:, None],
+            (b * tpg, nby))
+        new, dsq = minmax_step_padded(
+            p, dxa, ha, band_radius, threshold, gshape=gshape, tile=tile,
+            interpret=interp, with_rms=True, active=active, pack=b)
+        step_rms = jnp.sqrt(dsq / denom)
+        rms = jnp.where(done, rms, step_rms)
+        counts = counts + jnp.where(done, 0, 1).astype(jnp.int32)
+        done = done | (step_rms < tol) | jnp.isnan(step_rms)
+        return (new, n + 1, counts, rms, done)
+
+    init = (packed0, jnp.int32(0), jnp.zeros((b,), jnp.int32),
+            jnp.full((b,), jnp.inf, phi0.dtype), jnp.zeros((b,), bool))
+    p, _, counts, rms, _ = jax.lax.while_loop(cond, body, init)
+    return (wp.unpack_from_pallas(p, b, gshape), counts, rms,
+            jnp.isnan(rms))
+
+
+def packed_applicable(shape, dtype) -> bool:
+    """Whether the packed serving path applies: exactly when the fused
+    kernel does (packing pins tx == 8 == 2 * XA via ``pack_tile``, so the
+    block-alignment invariant always holds)."""
+    from ..ops.weno_pallas import pallas_supported
+    return pallas_supported(shape, dtype)
+
+
 @partial(jax.jit, static_argnames=("iters", "avg_halfwidth",
                                    "use_true_curvature"))
 def minmax_batched(phi0, dx, h1, iters: int, tol, *, band_radius=4.1,
@@ -217,16 +327,18 @@ def run_batch(inputs: Sequence[MeshLike],
     batch is padded to a device multiple by repeating the last geometry
     (padding results are dropped).
 
-    ``strategy`` picks the solver execution: ``"vmap"`` stacks the batch
-    into one program (amortizes compilation; fills the chip when a single
-    small grid under-utilizes it), ``"sequential"`` runs the solo solvers
-    per geometry (routes through the fused Pallas kernels on TPU — faster
-    per cell once one grid already saturates the chip), ``"auto"`` uses
-    vmap for small grids and sequential for large ones (or whenever
-    ``data_parallel`` is off and the fused kernel applies to big grids).
-    Both integrate the same Jacobi step with the same per-element stop
-    rule; fields match at solver tolerance (bitwise on the jnp path,
-    ~1-ulp/step on the fused TPU kernel).
+    ``strategy`` picks the solver execution: ``"packed"`` packs all B
+    geometries along x into ONE padded array and runs the fused Pallas
+    kernel once per step for the whole batch (solo-exact BC masks,
+    per-geometry h and fused per-geometry RMS — the fastest measured
+    strategy at every size, 1.5-1.9x over vmap at 64-128^3 on v5e);
+    ``"vmap"`` stacks the batch into one jnp program (amortizes
+    compilation; the data-parallel strategy), ``"sequential"`` runs the
+    solo solvers per geometry (fused Pallas kernels on TPU), ``"auto"``
+    uses packed whenever it applies, else the measured vmap/sequential
+    crossover.  All integrate the same Jacobi step with the same
+    per-element stop rule; fields match at solver tolerance (bitwise on
+    the jnp path, ~1-ulp/step on the fused TPU kernels).
     """
     loaded = [_load(m) for m in inputs]
     meshes = [m for m, _ in loaded]
@@ -253,24 +365,48 @@ def run_batch(inputs: Sequence[MeshLike],
     dxx = jnp.asarray([cfg.dx / gridmod.surface_diag(m.vertices)
                        for m in meshes], dtype)
 
-    if strategy not in ("auto", "vmap", "sequential"):
+    if strategy not in ("auto", "vmap", "sequential", "packed"):
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "auto":
-        # once ONE grid saturates the chip, vmap stops paying and the
-        # solo path's fused Pallas kernels win; below that, stacking fills
-        # the VPU and amortizes compilation.  Threshold from the measured
-        # crossover (BENCH_DETAIL serving_*: vmap 3.4x faster at 64^3,
-        # 1.55x at 96^3, 0.95x at 128^3 on v5e) — sequential wins only
-        # past ~128^3.
+        # the packed fused path wins at every measured size (1.5-1.9x over
+        # the vmapped jnp step at 64-128^3, and it degenerates to the solo
+        # fused kernel — itself the sequential winner — past the old
+        # crossover), so auto prefers it whenever it applies.  vmap
+        # remains the data-parallel and non-Pallas-shape strategy;
+        # sequential the large-grid non-packable fallback (measured
+        # crossover ~128^3: BENCH_DETAIL serving_*).
         from ..solvers.reinit import _use_pallas
-        big = int(np.prod(grids[0].shape)) >= 128 ** 3
-        strategy = ("sequential"
-                    if big and not data_parallel
-                    and _use_pallas("auto", phi0[0], None) else "vmap")
+        if (not data_parallel and _use_pallas("auto", phi0[0], None)
+                and packed_applicable(grids[0].shape, dtype)):
+            strategy = "packed"
+        else:
+            big = int(np.prod(grids[0].shape)) >= 128 ** 3
+            strategy = ("sequential"
+                        if big and not data_parallel
+                        and _use_pallas("auto", phi0[0], None) else "vmap")
     log_event("batch_strategy", strategy=strategy)
 
     true_b = phi0.shape[0]
-    if strategy == "sequential":
+    if strategy == "packed":
+        from ..ops.minmax_pallas import minmax_pallas_applicable
+        phi_init, r_it, r_rms, r_div = reinit_batched_packed(
+            phi0, cfg.dx, cfg.reinit_cfl * dxx, cfg.reinit_iters,
+            cfg.reinit_tol, eps_scale=cfg.weno_eps_scale,
+            eps_floor=cfg.eps_floor,
+            quirk_y_p5_zero=cfg.quirks.weno_y_p5_zero)
+        if minmax_pallas_applicable(phi_init[0], cfg.minmax_avg_halfwidth,
+                                    False):
+            phi_sm, m_it, m_rms, m_div = minmax_batched_packed(
+                phi_init, cfg.dx, cfg.minmax_cfl * dxx, cfg.minmax_iters,
+                cfg.minmax_tol, band_radius=cfg.band_radius,
+                threshold=cfg.minmax_threshold)
+        else:     # non-default min/max configs: vmapped jnp stage
+            phi_sm, m_it, m_rms, m_div = minmax_batched(
+                phi_init, cfg.dx, cfg.minmax_cfl * dxx, cfg.minmax_iters,
+                cfg.minmax_tol, band_radius=cfg.band_radius,
+                threshold=cfg.minmax_threshold,
+                avg_halfwidth=cfg.minmax_avg_halfwidth)
+    elif strategy == "sequential":
         from ..solvers.minmax_flow import minmax_flow
         from ..solvers.reinit import reinit
         rs = [reinit(phi0[i], cfg.dx, cfg.reinit_cfl * dxx[i],

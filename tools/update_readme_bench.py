@@ -88,6 +88,16 @@ def render(d: dict) -> str:
             _g(d, "serving_64_vmap_speedup", scale=1.0),
             _g(d, "serving_96_vmap_speedup", scale=1.0),
             _g(d, "serving_128_vmap_speedup", scale=1.0)),
+        "  | PACKED serving (B geometries along x, ONE fused launch/step) "
+        "vs best other strategy, 64³/96³/128³ | {}× / {}× / {}× "
+        "({} / {} / {} geoms/s; the auto router now picks packed whenever "
+        "the kernel applies) |".format(
+            _g(d, "serving_64_packed_speedup", scale=1.0),
+            _g(d, "serving_96_packed_speedup", scale=1.0),
+            _g(d, "serving_128_packed_speedup", scale=1.0),
+            _g(d, "serving_64_packed_gps", scale=1.0, fmt="{:.0f}"),
+            _g(d, "serving_96_packed_gps", scale=1.0, fmt="{:.0f}"),
+            _g(d, "serving_128_packed_gps", scale=1.0, fmt="{:.0f}")),
         "  | BANDED sharded gradient, 200-step 256³ | {} s ({}× vs dense "
         "sharded) |".format(
             _g(d, "sharded_grad_nb_256_seconds", scale=1.0, fmt="{:.1f}"),
