@@ -4,6 +4,7 @@ solo-exact per-geometry BC masks, per-geometry h and per-geometry fused
 RMS.  Trajectories must equal the solo fused solvers' — including
 per-element iteration counts and freeze-on-convergence semantics."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -152,3 +153,39 @@ def test_run_batch_packed_strategy_matches_sequential():
                                    atol=5e-6)
         assert a.reinit_iters == b.reinit_iters
         assert a.minmax_iters == b.minmax_iters
+
+
+def test_init_scan_matmul_precision_pinned():
+    """The quad-form init scans MUST pin MXU precision: the TPU default
+    (bf16 passes) corrupts the Ericson region classification — measured
+    on twoCube10 as far-field phi spikes to 2e4 and a reinit that runs to
+    the 10k-iteration cap instead of 16 steps.  CPU tests compute f32
+    regardless, so this gate inspects the jaxpr instead of the values."""
+    from levelsetfortran_tpu.ops.init_sign import (nearest_centroid,
+                                                   nearest_sign_scan)
+
+    def dot_precisions(fn, *args):
+        jaxpr = jax.make_jaxpr(fn)(*args)
+        found = []
+
+        def walk(j):
+            for eq in j.eqns:
+                if eq.primitive.name == "dot_general":
+                    found.append(eq.params.get("precision"))
+                for v in eq.params.values():
+                    for x in (v if isinstance(v, (list, tuple)) else (v,)):
+                        if hasattr(x, "jaxpr"):
+                            walk(x.jaxpr)
+
+        walk(jaxpr.jaxpr)
+        return found
+
+    pts = jnp.zeros((32, 3), jnp.float32)
+    tri = jnp.zeros((16, 3, 3), jnp.float32)
+    cen = jnp.zeros((16, 3), jnp.float32)
+    for fn, args in ((lambda p, t: nearest_sign_scan(p, t), (pts, tri)),
+                     (nearest_centroid, (pts, cen))):
+        precs = dot_precisions(fn, *args)
+        assert precs, "expected an MXU dot in the scan"
+        for p in precs:
+            assert p == (jax.lax.Precision.HIGHEST,) * 2, p
