@@ -1505,7 +1505,11 @@ def _pick_bwd_tile(pad_shape, tile):
     temporaries, so the y tile shrinks below the forward's 64 to bound
     register-allocator spills; the r3 hand-adjoint sweep at 256^3 measured
     (8, 32) fastest (10.5 ms/step vs 10.9 at both (8, 16) and (8, 8), 11.5
-    at (16, 16)).  Every live temporary scales with ty*nzp (z is whole per
+    at (16, 16)), and an r5 9-config re-sweep (grad-slope estimator, one
+    session) confirmed the ordering: (8, 32) 13.3 < (8, 8) 13.6 <
+    (8, 16) 13.8 < (16, 16) 14.2 < (8, 64) 14.3 < (16, 32) 15.0 <
+    (16, 8) 16.8 < (32, 8) 20.6, with (32, 16) failing the Mosaic
+    compile.  Every live temporary scales with ty*nzp (z is whole per
     tile), so the y tile halves as nzp doubles past 256 — (8, 32) at
     nzp=512 exceeds physical VMEM and kills the Mosaic compile."""
     tx, ty = tile
