@@ -871,9 +871,88 @@ def signed_distance_init(grid: Grid3D, vertices, elements, *,
                         nblocks=culling.nblocks)
 
 
+def _overflow_split(cand, n_tri, nb_g, nb_l, mesh_shape, tile, k1=None):
+    """Split one rectangular (B, K) candidate table into a K1-wide table
+    for ALL blocks plus a per-shard full-width OVERFLOW table for the few
+    blocks whose candidate count exceeds K1.
+
+    The sharded init needs rectangular per-shard row slices (SPMD-static
+    shapes), so it cannot use the bucketed lists the single-chip path has
+    — and a single uniform K = max_k makes every far-field block evaluate
+    the worst near-surface block's candidates (measured at 256³/18k tris:
+    27 s vs 3.4 s bucketed, exactly the ~8× pair-count inflation).  The
+    split recovers bucketed-level pair counts with TWO static shapes:
+    every block scans its first K1 candidates, and each overflow block is
+    recomputed WHOLE from its complete row (unbucketed rows always hold
+    the full list), overwriting the partial pass — exactness never
+    depends on merging partial scans.
+
+    Returns ``None`` (no paying split) or ``(k1, ov_bid_local (S, NOV),
+    ov_cand (S, NOV, K))`` with padding rows that duplicate a real
+    (complete) block so the overwrite is idempotent.  ``k1`` may be
+    forced for tests.
+    """
+    import numpy as np
+    B, K = cand.shape
+    counts = (np.asarray(cand) != n_tri).sum(1)
+    if k1 is None:
+        # minimize total pairs: all blocks at K1 + overflow blocks at K
+        levels = []
+        lv = tile
+        while lv < K:
+            levels.append(lv)
+            lv *= 2
+        if not levels:
+            return None
+        costs = [B * L + int((counts > L).sum()) * K for L in levels]
+        best = int(np.argmin(costs))
+        if costs[best] >= B * K:
+            return None
+        k1 = levels[best]
+    if k1 >= K:
+        return None
+    ov = np.nonzero(counts > k1)[0].astype(np.int64)
+    # group overflow blocks by owning shard; every shard processes the
+    # same static NOV rows (max over shards, padded with duplicates)
+    mx, my, mz = mesh_shape
+    nbx, nby, nbz = nb_g
+    bi, bj, bk = ov // (nby * nbz), (ov // nbz) % nby, ov % nbz
+    si = (bi // nb_l[0]) * my * mz + (bj // nb_l[1]) * mz + (bk // nb_l[2])
+    loc = ((bi % nb_l[0]) * nb_l[1] + (bj % nb_l[1])) * nb_l[2] \
+        + (bk % nb_l[2])
+    S = mx * my * mz
+    nov = max(1, int(np.bincount(si, minlength=S).max()))
+    ov_bid = np.zeros((S, nov), np.int32)
+    ov_cand = np.empty((S, nov, K), np.int32)
+    cand_np = np.asarray(cand)
+    nloc = nb_l[0] * nb_l[1] * nb_l[2]
+    for s in range(S):
+        rows = np.nonzero(si == s)[0]
+        bids = loc[rows]
+        # pad with DISTINCT non-overflow local blocks of this shard (any
+        # unbucketed row is the block's complete list, so the overwrite
+        # recomputes an identical value) — scatter indices stay unique,
+        # keeping .at[].set semantics and its transpose well-defined
+        n_pad = nov - rows.size
+        if n_pad:
+            free = np.setdiff1d(np.arange(nloc, dtype=np.int64), bids,
+                                assume_unique=False)[:n_pad]
+            bids = np.concatenate([bids, free])
+        sx, sy, sz = s // (my * mz), (s // mz) % my, s % mz
+        bi_l = bids // (nb_l[1] * nb_l[2])
+        bj_l = (bids // nb_l[2]) % nb_l[1]
+        bk_l = bids % nb_l[2]
+        gids = ((sx * nb_l[0] + bi_l) * nby
+                + (sy * nb_l[1] + bj_l)) * nbz + (sz * nb_l[2] + bk_l)
+        ov_bid[s] = bids
+        ov_cand[s] = cand_np[gids]
+    return k1, ov_bid, ov_cand
+
+
 def signed_distance_init_sharded(grid: Grid3D, vertices, elements, mesh, *,
                                  dtype=jnp.float32, tile: int = 128,
-                                 culling="auto", cull_block: int = 16):
+                                 culling="auto", cull_block: int = 16,
+                                 _split_k1=None):
     """:func:`signed_distance_init` under ``shard_map``: grid points are
     block-sharded over the device mesh, triangle tiles replicated.
 
@@ -921,25 +1000,63 @@ def signed_distance_init_sharded(grid: Grid3D, vertices, elements, mesh, *,
         nb_l = tuple(b // culling.block for b in block)
         nbg = culling.nblocks
         K = culling.cand_idx.shape[1]
-        cand4 = culling.cand_idx.reshape(nbg + (K,))
         nloc = nb_l[0] * nb_l[1] * nb_l[2]
+        n_tri = int(jnp.asarray(elements).shape[0])
+        split = _overflow_split(culling.cand_idx, n_tri, nbg, nb_l,
+                                mesh_shape, tile, k1=_split_k1)
+        if split is None:
+            cand4 = culling.cand_idx.reshape(nbg + (K,))
 
-        def local_culled(tri_l, cand_g):
-            boffs = [jax.lax.axis_index(n) * nb
-                     for n, nb in zip(AXIS_NAMES, nb_l)]
+            def local_culled(tri_l, cand_g):
+                boffs = [jax.lax.axis_index(n) * nb
+                         for n, nb in zip(AXIS_NAMES, nb_l)]
+                cand_l = jax.lax.dynamic_slice(
+                    cand_g, tuple(boffs) + (jnp.int32(0),),
+                    nb_l + (K,)).reshape(-1, K)
+                return _culled_init(grid, tri_l, (cand_l,),
+                                    (jnp.arange(nloc, dtype=jnp.int32),),
+                                    dtype=dtype, tile=tile,
+                                    block=culling.block, nblocks=nb_l,
+                                    out_shape=block,
+                                    block_offset=jnp.stack(boffs))
+
+            f = shard_map(local_culled, mesh=mesh, in_specs=(P(), P()),
+                          out_specs=P(*AXIS_NAMES))
+            return jax.jit(f)(tri, cand4)
+
+        k1, ov_bid, ov_cand = split
+        cand4 = culling.cand_idx[:, :k1].reshape(nbg + (k1,))
+        ov_bid = jnp.asarray(ov_bid)
+        ov_cand = jnp.asarray(ov_cand)
+        nov = int(ov_bid.shape[1])
+        my, mz = mesh_shape[1], mesh_shape[2]
+
+        def local_culled(tri_l, cand_g, ovb_g, ovc_g):
+            axi = [jax.lax.axis_index(n) for n in AXIS_NAMES]
+            boffs = [i * nb for i, nb in zip(axi, nb_l)]
             cand_l = jax.lax.dynamic_slice(
                 cand_g, tuple(boffs) + (jnp.int32(0),),
-                nb_l + (K,)).reshape(-1, K)
-            return _culled_init(grid, tri_l, (cand_l,),
-                                (jnp.arange(nloc, dtype=jnp.int32),),
+                nb_l + (k1,)).reshape(-1, k1)
+            sidx = (axi[0] * my + axi[1]) * mz + axi[2]
+            ovb = jax.lax.dynamic_slice(
+                ovb_g, (sidx, jnp.int32(0)), (1, nov)).reshape(nov)
+            ovc = jax.lax.dynamic_slice(
+                ovc_g, (sidx, jnp.int32(0), jnp.int32(0)),
+                (1, nov, K)).reshape(nov, K)
+            # two buckets: K1-wide pass over every local block, then the
+            # overflow blocks recomputed whole from their complete rows
+            # (the second bucket's results overwrite the first's)
+            return _culled_init(grid, tri_l, (cand_l, ovc),
+                                (jnp.arange(nloc, dtype=jnp.int32), ovb),
                                 dtype=dtype, tile=tile,
                                 block=culling.block, nblocks=nb_l,
                                 out_shape=block,
                                 block_offset=jnp.stack(boffs))
 
-        f = shard_map(local_culled, mesh=mesh, in_specs=(P(), P()),
+        f = shard_map(local_culled, mesh=mesh,
+                      in_specs=(P(), P(), P(), P()),
                       out_specs=P(*AXIS_NAMES))
-        return jax.jit(f)(tri, cand4)
+        return jax.jit(f)(tri, cand4, ov_bid, ov_cand)
 
     def local(tri_l):
         offs = [jax.lax.axis_index(n) * b
